@@ -1,0 +1,130 @@
+"""Icosahedral mesh used for descriptor orientation binning.
+
+Reproduces the geometry of the reference (`Src/cUtil.cc:19-55` vertex/face
+tables, `Src/cUtil.cc:113-175` Initialize_geometry): a regular icosahedron
+inscribed in the unit sphere, with each face's vertex order swapped when the
+outward normal test ``dot(cross(v2-v1, v1-v0), v0) < 0`` fails.
+
+Everything here is computed once in NumPy at import time; the arrays become
+compile-time constants of the TPU kernels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .config import ICOS_NFACES, ICOS_NVERT
+
+GOLDEN_RATIO = 1.6180339887  # Src/cUtil.cc:19
+
+_gr = GOLDEN_RATIO
+
+# Vertices of a regular icosahedron (Src/cUtil.cc:22-33), rows = (x, y, z).
+VERTS_RAW = np.array(
+    [
+        [0, 1, _gr],
+        [0, -1, _gr],
+        [0, 1, -_gr],
+        [0, -1, -_gr],
+        [1, _gr, 0],
+        [-1, _gr, 0],
+        [1, -_gr, 0],
+        [-1, -_gr, 0],
+        [_gr, 0, 1],
+        [-_gr, 0, 1],
+        [_gr, 0, -1],
+        [-_gr, 0, -1],
+    ],
+    dtype=np.float64,
+)
+
+# Vertex index triplets per face (Src/cUtil.cc:36-55).
+FACES = np.array(
+    [
+        [0, 1, 8],
+        [0, 8, 4],
+        [0, 4, 5],
+        [0, 5, 9],
+        [0, 9, 1],
+        [1, 6, 8],
+        [8, 6, 10],
+        [8, 10, 4],
+        [4, 10, 2],
+        [4, 2, 5],
+        [5, 2, 11],
+        [5, 11, 9],
+        [9, 11, 7],
+        [9, 7, 1],
+        [1, 7, 6],
+        [3, 6, 7],
+        [3, 7, 11],
+        [3, 11, 2],
+        [3, 2, 10],
+        [3, 10, 6],
+    ],
+    dtype=np.int32,
+)
+
+
+def build_mesh() -> tuple[np.ndarray, np.ndarray]:
+    """Return (tri_verts, tri_idx).
+
+    tri_verts: (20, 3, 3) float32 — per face, the three unit-sphere vertex
+        coordinates, in the winding order the reference ends up with after
+        its normal-fix swap (Src/cUtil.cc:156-171).
+    tri_idx: (20, 3) int32 — per face, vertex indices into the 12-vertex
+        solid. NOTE the reference swaps only the *coordinates* v[0]<->v[1]
+        when fixing winding, NOT the idx[] array (Src/cUtil.cc:166-171); the
+        descriptor scatter uses idx[] while barycentric weights follow the
+        swapped coordinates, so the two arrays intentionally disagree on
+        swapped faces. We replicate this exactly.
+    """
+    # Normalise each vertex to unit length in float32 like the reference
+    # (SIFT3D_CVEC_L2_NORM returns float; scale by 1/mag).
+    verts32 = VERTS_RAW.astype(np.float32)
+    tri_verts = np.zeros((ICOS_NFACES, 3, 3), dtype=np.float32)
+    tri_idx = FACES.copy()
+
+    for i in range(ICOS_NFACES):
+        v = np.empty((3, 3), dtype=np.float32)
+        for j in range(3):
+            vj = verts32[FACES[i, j]].astype(np.float32)
+            mag = np.float32(np.sqrt(np.float32(vj[0] * vj[0] + vj[1] * vj[1] + vj[2] * vj[2])))
+            v[j] = (vj.astype(np.float64) * (1.0 / float(mag))).astype(np.float32)
+        t1 = v[2] - v[1]
+        t2 = v[1] - v[0]
+        n = np.cross(t1.astype(np.float64), t2.astype(np.float64)).astype(np.float32)
+        if float(np.dot(n.astype(np.float64), v[0].astype(np.float64))) < 0:
+            v[[0, 1]] = v[[1, 0]]
+        tri_verts[i] = v
+
+    return tri_verts, tri_idx
+
+
+TRI_VERTS, TRI_IDX = build_mesh()
+
+
+def moller_trumbore_constants() -> dict[str, np.ndarray]:
+    """Precompute the gradient-independent parts of cart2bary
+    (Src/cSIFT3D.cc:1592-1637) for all 20 faces.
+
+    cart2bary computes, for ray direction D (the gradient) and triangle
+    (v0, v1, v2):
+        e1 = v1 - v0, e2 = v2 - v0, t = -v0
+        p = D x e2, q = t x e1
+        det = e1 . p
+        bary_y = (p . t) / det, bary_z = (D . q) / det, bary_x = 1 - y - z
+        k = (q . e2) / det
+    Only e1, e2, t, q depend purely on the face.
+    """
+    v0 = TRI_VERTS[:, 0, :].astype(np.float32)
+    v1 = TRI_VERTS[:, 1, :].astype(np.float32)
+    v2 = TRI_VERTS[:, 2, :].astype(np.float32)
+    e1 = v1 - v0
+    e2 = v2 - v0
+    t = -v0
+    q = np.cross(t, e1).astype(np.float32)
+    return {"v0": v0, "e1": e1, "e2": e2, "t": t, "q": q}
+
+
+MESH_CONST = moller_trumbore_constants()
