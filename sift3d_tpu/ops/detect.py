@@ -1,0 +1,93 @@
+"""DoG keypoint detection: threshold + strict 8-neighbour extremum test.
+
+TPU design: the reference's serial triple loop (Detect_KeyPoints,
+Src/cSIFT3D.cc:362-425) becomes a fully vectorised mask computation —
+shifted-slice comparisons against the 6 face neighbours in-level plus the
+centre voxel of the previous/next DoG level (IsExtrema_neighbor,
+Src/cSIFT3D.cc:884-911) — followed by a fixed-capacity compaction
+(jnp.nonzero with static size), because TPU kernels need static shapes.
+Compaction order is row-major (z, y, x), identical to the reference's scan
+order, so downstream keypoint ordering matches the CPU oracle.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class LevelDetections(NamedTuple):
+    """Fixed-capacity keypoint set for one (octave, level)."""
+
+    x: jnp.ndarray       # (cap,) int32, level coords
+    y: jnp.ndarray       # (cap,) int32
+    z: jnp.ndarray       # (cap,) int32
+    valid: jnp.ndarray   # (cap,) bool
+    count: jnp.ndarray   # () int32 — true number of extrema (may exceed cap)
+    threshold: jnp.ndarray  # () f32 — peak_thresh * max|DoG|
+
+
+def extrema_mask(
+    prev: jnp.ndarray, cur: jnp.ndarray, nxt: jnp.ndarray, peak_thresh: float
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Boolean mask over interior voxels (border IMG_BORDER=1 excluded).
+
+    Returns (mask of shape (nz-2, ny-2, nx-2), threshold scalar).
+    """
+    thres = jnp.float32(peak_thresh) * jnp.max(jnp.abs(cur))
+    c = cur[1:-1, 1:-1, 1:-1]
+    passed = (c > thres) | (c < -thres)
+
+    neigh = (
+        prev[1:-1, 1:-1, 1:-1],
+        cur[1:-1, 1:-1, :-2],
+        cur[1:-1, 1:-1, 2:],
+        cur[1:-1, 2:, 1:-1],
+        cur[1:-1, :-2, 1:-1],
+        cur[2:, 1:-1, 1:-1],
+        cur[:-2, 1:-1, 1:-1],
+        nxt[1:-1, 1:-1, 1:-1],
+    )
+    is_min = passed
+    is_max = passed
+    for nb in neigh:
+        is_min = is_min & (c < nb)
+        is_max = is_max & (c > nb)
+    return is_min | is_max, thres
+
+
+def compact(mask: jnp.ndarray, cap: int, threshold: jnp.ndarray) -> LevelDetections:
+    """Compact a (nz-2, ny-2, nx-2) interior mask into fixed-cap coords.
+
+    Indices come out in C row-major order = the reference's z,y,x scan.
+    Coordinates are shifted by +1 back into full-volume space.
+    """
+    mz, my, mx = mask.shape
+    flat = mask.ravel()
+    (idx,) = jnp.nonzero(flat, size=cap, fill_value=-1)
+    valid = idx >= 0
+    safe = jnp.maximum(idx, 0)
+    z = safe // (my * mx)
+    rem = safe % (my * mx)
+    y = rem // mx
+    x = rem % mx
+    return LevelDetections(
+        x=jnp.where(valid, x + 1, 0).astype(jnp.int32),
+        y=jnp.where(valid, y + 1, 0).astype(jnp.int32),
+        z=jnp.where(valid, z + 1, 0).astype(jnp.int32),
+        valid=valid,
+        count=jnp.sum(flat.astype(jnp.int32)),
+        threshold=threshold,
+    )
+
+
+def detect_level(
+    prev: jnp.ndarray,
+    cur: jnp.ndarray,
+    nxt: jnp.ndarray,
+    peak_thresh: float,
+    cap: int,
+) -> LevelDetections:
+    mask, thres = extrema_mask(prev, cur, nxt, peak_thresh)
+    return compact(mask, cap, thres)

@@ -1,0 +1,74 @@
+"""Gaussian scale-space ops for TPU: blur as MXU matmuls.
+
+The reference's separable blur (`GaussianSmooth_3D`, Src/cSIFT3D.cc:535-622)
+does, per axis: a scalar tap loop with a two-pass interior/boundary scheme,
+plus two full-volume permutes per axis so the convolution always runs along
+the fastest axis. On TPU we fold each axis pass — with the reference's exact
+boundary semantics — into a static (n, n) float32 smoothing matrix
+(see sift3d_tpu.pyramid.smoothing_matrix) and contract it against the volume
+with einsum. XLA maps each contraction onto the MXU; there are no permutes,
+no boundary branches, and the whole blur is three back-to-back matmuls that
+run close to HBM speed-of-light for realistic volume sizes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..pyramid import gaussian_kernel, smoothing_matrix
+
+
+@functools.lru_cache(maxsize=None)
+def _smoothing_matrix_cached(n: int, sigma: float) -> np.ndarray:
+    return smoothing_matrix(n, gaussian_kernel(sigma))
+
+
+def blur_operators(shape: tuple[int, int, int], sigma: float):
+    """Per-axis smoothing matrices (Wz, Wy, Wx) for a (nz, ny, nx) volume."""
+    nz, ny, nx = shape
+    return (
+        _smoothing_matrix_cached(nz, float(sigma)),
+        _smoothing_matrix_cached(ny, float(sigma)),
+        _smoothing_matrix_cached(nx, float(sigma)),
+    )
+
+
+def gaussian_blur(vol: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """Separable blur with reference axis order X -> Y -> Z
+    (Src/cSIFT3D.cc:608-617). vol: (nz, ny, nx) float32.
+
+    precision=HIGHEST keeps the MXU passes in true float32 — the TPU default
+    (bf16 passes) would move keypoints relative to the CPU reference.
+    """
+    import jax
+
+    hi = jax.lax.Precision.HIGHEST
+    Wz, Wy, Wx = blur_operators(vol.shape, sigma)
+    out = jnp.einsum("xj,zyj->zyx", jnp.asarray(Wx), vol,
+                     preferred_element_type=jnp.float32, precision=hi)
+    out = jnp.einsum("yj,zjx->zyx", jnp.asarray(Wy), out,
+                     preferred_element_type=jnp.float32, precision=hi)
+    out = jnp.einsum("zj,jyx->zyx", jnp.asarray(Wz), out,
+                     preferred_element_type=jnp.float32, precision=hi)
+    return out
+
+
+def downsample(vol: jnp.ndarray) -> jnp.ndarray:
+    """Stride-2 decimation, dims halve by integer division
+    (DownSample_3D, Src/cSIFT3D.cc:506-533)."""
+    nz, ny, nx = vol.shape
+    return vol[: 2 * (nz // 2) : 2, : 2 * (ny // 2) : 2, : 2 * (nx // 2) : 2]
+
+
+def dog(prev: jnp.ndarray, cur: jnp.ndarray) -> jnp.ndarray:
+    """DoG = prev - cur (Sub computes (cur - prev) * -1, Src/cSIFT3D.cc:875)."""
+    return prev - cur
+
+
+def data_scale(vol: jnp.ndarray) -> jnp.ndarray:
+    """Normalise by max |voxel| (data_scale, Src/cUtil.cc:553-577)."""
+    m = jnp.max(jnp.abs(vol))
+    return jnp.where(m > 0, vol / m, vol)

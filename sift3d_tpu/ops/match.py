@@ -1,0 +1,179 @@
+"""Brute-force descriptor matching on the MXU.
+
+The reference's matcher (Src/cMatcher.cc:40-79) is an O(N*M*768) scalar loop
+tracking top-2 dot products per query. TPU-first equivalent: the score
+matrix is one (N, 768) x (768, M) matmul evaluated in row-chunks (so N*M
+never materialises in full), with a vectorised top-2 reduction. The
+inject/biject/enhanced mask logic (Src/cMatcher.cc:114-215) becomes pure
+gather/segment-sum arithmetic.
+
+Semantics replicated:
+- strict '>' top-2 updates => earlier target index wins ties (argmax picks
+  the first maximum);
+- d = 2 - 2*dot squared-L2 distances of unit descriptors;
+- ratio test rejects when d1/d2 >= threshold^2;
+- enhanced mode re-matches only "ambiguous" targets (matched by >1 query,
+  toMask countThres=1); biject mode all matched targets (countThres=0);
+- bijectFilter keeps a forward pair unless its target is masked and the
+  target's best reverse match disagrees.
+
+Deviation (documented): the reference flags rejected matches by negating the
+index, which cannot flag target index 0 (Src/cMatcher.cc:93); we use explicit
+validity booleans, so index-0 rejections actually reject.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+INJECT, BIJECT, ENHANCED = 0, 1, 2
+_FLT_MIN = 1.1754943508222875e-38  # FLT_MIN init of the top-2 scan
+
+
+class Top2(NamedTuple):
+    d1: jnp.ndarray  # (N,) f32 best distance 2-2*dot
+    d2: jnp.ndarray  # (N,) f32 second-best distance
+    i1: jnp.ndarray  # (N,) int32 best target (-1 invalid)
+    i2: jnp.ndarray  # (N,) int32 second target
+
+
+class MatchResult(NamedTuple):
+    tar_idx: jnp.ndarray  # (N,) int32 matched target per ref (-1 if none)
+    valid: jnp.ndarray    # (N,) bool
+
+
+def top2_scores(
+    ref_desc: jnp.ndarray,
+    tar_desc: jnp.ndarray,
+    ref_valid: jnp.ndarray,
+    tar_valid: jnp.ndarray,
+    row_chunk: int = 1024,
+) -> Top2:
+    """Chunked top-2 dot products. Invalid targets can never be selected."""
+    n = ref_desc.shape[0]
+    nchunks = -(-n // row_chunk)
+    pad = nchunks * row_chunk - n
+    ref_p = jnp.pad(ref_desc, ((0, pad), (0, 0)))
+
+    neg = jnp.float32(-jnp.inf)
+    tmask = jnp.where(tar_valid, 0.0, neg)[None, :]
+
+    def chunk(i):
+        rows = jax.lax.dynamic_slice_in_dim(ref_p, i * row_chunk, row_chunk)
+        scores = (
+            jnp.dot(rows, tar_desc.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST) + tmask
+        )
+        i1 = jnp.argmax(scores, axis=1)
+        s1 = jnp.max(scores, axis=1)
+        scores2 = scores.at[jnp.arange(row_chunk), i1].set(neg)
+        i2 = jnp.argmax(scores2, axis=1)
+        s2 = jnp.max(scores2, axis=1)
+        return s1, s2, i1.astype(jnp.int32), i2.astype(jnp.int32)
+
+    s1, s2, i1, i2 = jax.lax.map(chunk, jnp.arange(nchunks))
+    s1 = s1.reshape(-1)[:n]
+    s2 = s2.reshape(-1)[:n]
+    i1 = i1.reshape(-1)[:n]
+    i2 = i2.reshape(-1)[:n]
+
+    # FLT_MIN init: selections require dot > FLT_MIN (Src/cMatcher.cc:54-69).
+    i1 = jnp.where((s1 > _FLT_MIN) & ref_valid, i1, -1)
+    i2 = jnp.where((s2 > _FLT_MIN) & ref_valid, i2, -1)
+    return Top2(
+        d1=2.0 - 2.0 * s1,
+        d2=2.0 - 2.0 * s2,
+        i1=i1,
+        i2=i2,
+    )
+
+
+def ratio_filter(t: Top2, threshold) -> jnp.ndarray:
+    """Validity after the ratio test (filter, Src/cMatcher.cc:81-97)."""
+    thr2 = jnp.float32(threshold) * jnp.float32(threshold)
+    return (t.i1 >= 0) & ~(t.d1 / t.d2 >= thr2)
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "row_chunk"))
+def match_descriptors(
+    ref_desc: jnp.ndarray,
+    tar_desc: jnp.ndarray,
+    ref_valid: jnp.ndarray,
+    tar_valid: jnp.ndarray,
+    threshold: float = 0.85,
+    mode: int = ENHANCED,
+    row_chunk: int = 1024,
+) -> MatchResult:
+    n, m = ref_desc.shape[0], tar_desc.shape[0]
+    fwd = top2_scores(ref_desc, tar_desc, ref_valid, tar_valid, row_chunk)
+    fwd_valid = ratio_filter(fwd, threshold)
+
+    if mode == INJECT:
+        return MatchResult(
+            tar_idx=jnp.where(fwd_valid, fwd.i1, -1), valid=fwd_valid
+        )
+
+    count_thres = 0 if mode == BIJECT else 1
+    safe_i1 = jnp.where(fwd_valid, fwd.i1, m)  # out-of-range drops
+    counts = jnp.zeros(m + 1, jnp.int32).at[safe_i1].add(1)[:m]
+    tmask = counts > count_thres
+
+    rev = top2_scores(tar_desc, ref_desc, tar_valid & tmask, ref_valid, row_chunk)
+    rev_valid = ratio_filter(rev, threshold)
+    rev_best = jnp.where(rev_valid, rev.i1, -1)
+
+    j = jnp.clip(fwd.i1, 0, m - 1)
+    ambiguous = tmask[j]
+    agrees = rev_best[j] == jnp.arange(n)
+    keep = fwd_valid & (~ambiguous | agrees)
+    return MatchResult(tar_idx=jnp.where(keep, fwd.i1, -1), valid=keep)
+
+
+def match_coords(
+    ref_rxyz: jnp.ndarray,
+    tar_rxyz: jnp.ndarray,
+    result: MatchResult,
+):
+    """Original-image coordinate pairs (toCvec, Src/cMatcher.cc:99-112).
+
+    Returns (ref_coords, tar_coords, valid): (N, 3) arrays where invalid
+    rows are zero; callers compact with the mask.
+    """
+    j = jnp.clip(result.tar_idx, 0, tar_rxyz.shape[0] - 1)
+    ref_c = jnp.where(result.valid[:, None], ref_rxyz, 0.0)
+    tar_c = jnp.where(result.valid[:, None], tar_rxyz[j], 0.0)
+    return ref_c, tar_c, result.valid
+
+
+def threshold_sweep(
+    ref_desc, tar_desc, ref_valid, tar_valid, thresholds, mode: int = ENHANCED
+):
+    """Match at many ratio thresholds reusing one top-2 pass per direction
+    (BASELINE config 3's 0.7-0.9 sweep). Returns stacked validity masks."""
+    fwd = top2_scores(ref_desc, tar_desc, ref_valid, tar_valid)
+    n, m = ref_desc.shape[0], tar_desc.shape[0]
+
+    if mode == INJECT:
+        return jax.vmap(lambda th: ratio_filter(fwd, th))(thresholds)
+
+    rev_full = top2_scores(tar_desc, ref_desc, tar_valid, ref_valid)
+
+    def at_threshold(th):
+        fwd_valid = ratio_filter(fwd, th)
+        count_thres = 0 if mode == BIJECT else 1
+        safe_i1 = jnp.where(fwd_valid, fwd.i1, m)
+        counts = jnp.zeros(m + 1, jnp.int32).at[safe_i1].add(1)[:m]
+        tmask = counts > count_thres
+        # Reverse top-2 was computed against all valid refs; masking only
+        # invalidates targets, it does not change their best match.
+        rev_valid = ratio_filter(rev_full, th) & tmask
+        rev_best = jnp.where(rev_valid, rev_full.i1, -1)
+        j = jnp.clip(fwd.i1, 0, m - 1)
+        keep = fwd_valid & (~tmask[j] | (rev_best[j] == jnp.arange(n)))
+        return keep
+
+    return jax.vmap(at_threshold)(thresholds)

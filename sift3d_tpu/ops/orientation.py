@@ -1,0 +1,201 @@
+"""Orientation assignment: batched structure tensors + eigenframes.
+
+The reference processes one keypoint at a time with an OpenMP dynamic loop
+(Assign_Orientation, Src/cSIFT3D.cc:427-482; Assign_Orientation_Imp,
+Src/cSIFT3D.cc:913-1138), calling Eigen's general EigenSolver per keypoint.
+TPU-first equivalent: keypoints of a pyramid level are processed as a batch —
+windows gathered with vmapped dynamic_slice, Gaussian-weighted structure
+tensors accumulated as masked reductions, then a *batched* symmetric 3x3
+eigendecomposition. The rejection cascade (weak gradient -> -1, eigenvalue
+ratio / distinctness -> -2, corner score -> -3) and the sign-fixed rotation
+construction (R columns [v1 v2 v1 x v2], Src/cSIFT3D.cc:1084-1135) are
+replicated as vectorised masks.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import DBL_EPSILON, ORI_GRAD_THRESH, ORI_RAD_FCTR, ORI_SIG_FCTR, SiftConfig
+from ..pyramid import LevelMeta
+from . import windows as W
+from .detect import LevelDetections
+
+
+class OrientationResult(NamedTuple):
+    status: jnp.ndarray      # (cap,) int32: 1 ok, -1/-2/-3 rejection reasons
+    rotation: jnp.ndarray    # (cap, 3, 3) f32 (columns [v1 v2 v1xv2])
+    str_tensor: jnp.ndarray  # (cap, 3, 3) f32
+    mean_grad: jnp.ndarray   # (cap, 3) f32
+
+
+def _window_stats(
+    gss_pad: jnp.ndarray,
+    det: LevelDetections,
+    meta: LevelMeta,
+    r_vox: float,
+    win_radius_phys: float,
+    sigma_phys: float,
+    wshape: tuple[int, int, int],
+    kp_block: int,
+):
+    """Structure tensor (cap, 6) + mean gradient (cap, 3), chunked over
+    keypoints so only kp_block windows are live at once."""
+    nz, ny, nx = meta.shape
+    unit = meta.unit
+    cap = det.x.shape[0]
+    nblocks = -(-cap // kp_block)
+    pad = nblocks * kp_block - cap
+
+    xs = jnp.pad(det.x, (0, pad))
+    ys = jnp.pad(det.y, (0, pad))
+    zs = jnp.pad(det.z, (0, pad))
+    sigma2 = jnp.float32(sigma_phys) * jnp.float32(sigma_phys)
+    # Sphere test in physical units: sq_disp > win_radius^2 skips
+    # (Src/cSIFT3D.cc:967-969).
+    r2 = jnp.float32(win_radius_phys) * jnp.float32(win_radius_phys)
+
+    def block(args):
+        bx, by, bz = args
+        wins, starts = W.gather_windows(gss_pad, bx, by, bz, wshape)
+        az, ay, ax = W.core_coords(starts, wshape)
+        gx, gy, gz = W.central_gradients(wins, unit)
+
+        # Reference clamped box (per keypoint, exact f32 floor/ceil).
+        xs_lo, xs_hi = W.box_bounds(bx, r_vox, nx)
+        ys_lo, ys_hi = W.box_bounds(by, r_vox, ny)
+        zs_lo, zs_hi = W.box_bounds(bz, r_vox, nz)
+        mx = (ax >= xs_lo[:, None]) & (ax <= xs_hi[:, None])
+        my = (ay >= ys_lo[:, None]) & (ay <= ys_hi[:, None])
+        mz = (az >= zs_lo[:, None]) & (az <= zs_hi[:, None])
+
+        u = jnp.float32(unit)
+        dx = (ax.astype(jnp.float32) - bx.astype(jnp.float32)[:, None]) * u
+        dy = (ay.astype(jnp.float32) - by.astype(jnp.float32)[:, None]) * u
+        dz = (az.astype(jnp.float32) - bz.astype(jnp.float32)[:, None]) * u
+        sq = (
+            dz[:, :, None, None] ** 2
+            + dy[:, None, :, None] ** 2
+            + dx[:, None, None, :] ** 2
+        )
+        in_box = (
+            mz[:, :, None, None] & my[:, None, :, None] & mx[:, None, None, :]
+        )
+        inside = in_box & (sq <= r2)
+
+        w = jnp.where(inside, jnp.exp(jnp.float32(-0.5) * sq / sigma2), 0.0)
+
+        def rsum(v):
+            return jnp.sum(v, axis=(1, 2, 3))
+
+        st = jnp.stack(
+            [
+                rsum(gx * gx * w), rsum(gx * gy * w), rsum(gx * gz * w),
+                rsum(gy * gy * w), rsum(gy * gz * w), rsum(gz * gz * w),
+            ],
+            axis=-1,
+        )
+        mg = jnp.stack([rsum(gx * w), rsum(gy * w), rsum(gz * w)], axis=-1)
+        return st, mg
+
+    def empty(args):
+        b = args[0].shape[0]
+        return jnp.zeros((b, 6), jnp.float32), jnp.zeros((b, 3), jnp.float32)
+
+    count = det.count
+
+    def step(i):
+        has_work = i * kp_block < count
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i * kp_block, kp_block)
+        args = (sl(xs), sl(ys), sl(zs))
+        return jax.lax.cond(has_work, block, empty, args)
+
+    st_blocks, mg_blocks = jax.lax.map(step, jnp.arange(nblocks))
+    st = st_blocks.reshape(-1, 6)[:cap]
+    mg = mg_blocks.reshape(-1, 3)[:cap]
+    return st, mg
+
+
+def _sym_from_packed(st: jnp.ndarray) -> jnp.ndarray:
+    """(cap, 6) [xx, xy, xz, yy, yz, zz] -> (cap, 3, 3) symmetric."""
+    xx, xy, xz, yy, yz, zz = [st[:, i] for i in range(6)]
+    return jnp.stack(
+        [
+            jnp.stack([xx, xy, xz], -1),
+            jnp.stack([xy, yy, yz], -1),
+            jnp.stack([xz, yz, zz], -1),
+        ],
+        axis=-2,
+    )
+
+
+def assign_orientation(
+    gss_pad: jnp.ndarray,
+    det: LevelDetections,
+    meta: LevelMeta,
+    cfg: SiftConfig,
+) -> OrientationResult:
+    """Full orientation stage for one pyramid level."""
+    import numpy as np
+
+    scale32 = np.float32(meta.scale)
+    sigma = float(np.float32(np.float32(ORI_SIG_FCTR) * scale32))
+    win_radius = float(np.float32(np.float32(sigma) * np.float32(ORI_RAD_FCTR)))
+    r_vox = W.radius_voxels(win_radius, meta.unit)
+    wsz = tuple(
+        W.window_size(r_vox, n + 2) for n in meta.shape
+    )  # (Wz, Wy, Wx) against padded dims
+
+    st_packed, mg = _window_stats(
+        gss_pad, det, meta, r_vox, win_radius, sigma, wsz, cfg.kp_block
+    )
+    st = _sym_from_packed(st_packed)
+
+    # --- rejection cascade -------------------------------------------------
+    mg_sq = jnp.sum(mg * mg, axis=-1)
+    weak = mg_sq < jnp.float32(ORI_GRAD_THRESH)
+
+    vals, vecs = jnp.linalg.eigh(st)  # ascending eigenvalues, unit columns
+
+    ratio_bad = (jnp.abs(vals[:, 0] / vals[:, 1]) > cfg.max_eig_thres) | (
+        jnp.abs(vals[:, 1] / vals[:, 2]) > cfg.max_eig_thres
+    )
+    indistinct = (
+        (jnp.abs(vals[:, 0] - vals[:, 1]) < DBL_EPSILON)
+        | (jnp.abs(vals[:, 0] - vals[:, 2]) < DBL_EPSILON)
+        | (jnp.abs(vals[:, 2] - vals[:, 1]) < DBL_EPSILON)
+    )
+
+    # Sign fixing + corner score on the two dominant eigenvectors
+    # (Src/cSIFT3D.cc:1084-1113).
+    d_norm = jnp.sqrt(mg_sq)
+    v_hi = vecs[:, :, 2]
+    v_mid = vecs[:, :, 1]
+
+    def cos_and_sign(v):
+        d = jnp.sum(v * mg, axis=-1)
+        q_norm = jnp.sqrt(jnp.sum(v * v, axis=-1))
+        cos_ang = d / (d_norm * q_norm)
+        sgn = jnp.where(d > 0.0, 1.0, -1.0).astype(jnp.float32)
+        return jnp.abs(cos_ang), v * sgn[:, None]
+
+    cos_hi, v1 = cos_and_sign(v_hi)
+    cos_mid, v2 = cos_and_sign(v_mid)
+    corner_score = jnp.minimum(cos_hi, cos_mid)
+    corner_bad = corner_score < cfg.corner_thresh
+
+    vr = jnp.cross(v1, v2)
+    rot = jnp.stack([v1, v2, vr], axis=-1)  # columns [v1 v2 vr]
+
+    status = jnp.full(weak.shape, 1, jnp.int32)
+    status = jnp.where(corner_bad, -3, status)
+    status = jnp.where(ratio_bad | indistinct, -2, status)
+    status = jnp.where(weak, -1, status)
+    status = jnp.where(det.valid, status, 0)
+
+    return OrientationResult(
+        status=status, rotation=rot, str_tensor=st, mean_grad=mg
+    )

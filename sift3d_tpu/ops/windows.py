@@ -1,0 +1,109 @@
+"""Fixed-size keypoint window gathering.
+
+The reference's orientation/descriptor stages loop per keypoint over a
+clamped spherical window (Src/cSIFT3D.cc:939-955, 1182-1198). TPU-first
+equivalent: because the window radius depends only on the keypoint *scale*
+and every keypoint in one pyramid level shares the same scale
+(Initialize_Pyramid, Src/cUtil.cc:209-210), all windows in a level have one
+static size. We gather a fixed (Wz, Wy, Wx) cube per keypoint from a
+zero-padded level volume with vmapped dynamic_slice, and reproduce the
+reference's exact per-keypoint box clamping with masks computed from the
+same float32 floor/ceil arithmetic.
+
+The gathered cube always covers the clamped reference box plus the +-1
+gradient margin (see _window_size for the slack analysis), so masked
+contributions only ever read true in-volume voxels.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import IMG_BORDER
+
+
+def radius_voxels(win_radius_phys: float, unit: float) -> float:
+    """win_radius / unit in the reference's float32 arithmetic
+    (e.g. Src/cSIFT3D.cc:939: vcenter.x - win_radius / uxf)."""
+    return float(np.float32(np.float32(win_radius_phys) / np.float32(unit)))
+
+
+def window_size(r_vox: float, n_padded: int) -> int:
+    """Static per-axis window extent: span of the clamped box (<= 2*ceil(r)+1,
+    +-1 slack for f32 floor/ceil rounding) plus the gradient margin."""
+    return min(2 * int(math.ceil(r_vox)) + 5, n_padded)
+
+
+def gather_windows(
+    vol_padded: jnp.ndarray,
+    xs: jnp.ndarray,
+    ys: jnp.ndarray,
+    zs: jnp.ndarray,
+    wshape: tuple[int, int, int],
+):
+    """Gather (B, Wz, Wy, Wx) windows centred on integer keypoint coords.
+
+    vol_padded: (nz+2, ny+2, nx+2), zero halo of 1.
+    Returns (windows, (sz, sy, sx)) where s* are the *padded* slice starts,
+    so a core voxel at window index j (axis offset after trimming the
+    gradient margin) has unpadded coordinate s + j.
+    """
+    Wz, Wy, Wx = wshape
+    nzp, nyp, nxp = vol_padded.shape
+
+    def start(c, W, npad):
+        rm = (W - 1) // 2
+        return jnp.clip(c + 1 - rm, 0, npad - W)
+
+    sz = start(zs, Wz, nzp)
+    sy = start(ys, Wy, nyp)
+    sx = start(xs, Wx, nxp)
+
+    def one(s0, s1, s2):
+        return jax.lax.dynamic_slice(vol_padded, (s0, s1, s2), (Wz, Wy, Wx))
+
+    wins = jax.vmap(one)(sz, sy, sx)
+    return wins, (sz, sy, sx)
+
+
+def box_bounds(c: jnp.ndarray, r_vox: float, n: int):
+    """Reference per-axis clamped window bounds (Src/cSIFT3D.cc:939-955):
+    start = floor(c - r) clamped to IMG_BORDER if <= 1;
+    end = ceil(c + r) clamped to n-1-IMG_BORDER if >= n-2.
+    Computed in float32 like the reference. c: int32 coords."""
+    cf = c.astype(jnp.float32)
+    r = jnp.float32(r_vox)
+    start = jnp.floor(cf - r).astype(jnp.int32)
+    start = jnp.where(start > 1, start, IMG_BORDER)
+    end = jnp.ceil(cf + r).astype(jnp.int32)
+    end = jnp.where(end < n - 2, end, n - 1 - IMG_BORDER)
+    return start, end
+
+
+def core_coords(starts, wshape: tuple[int, int, int]):
+    """Unpadded absolute coordinates of the core (gradient-capable) voxels.
+
+    Core index j in [0, W-3] along each axis maps to coordinate s + j.
+    Returns three (B, W-2) int arrays (z, y, x).
+    """
+    sz, sy, sx = starts
+    Wz, Wy, Wx = wshape
+    az = sz[:, None] + jnp.arange(Wz - 2)[None, :]
+    ay = sy[:, None] + jnp.arange(Wy - 2)[None, :]
+    ax = sx[:, None] + jnp.arange(Wx - 2)[None, :]
+    return az, ay, ax
+
+
+def central_gradients(wins: jnp.ndarray, unit: float):
+    """Central differences * 0.5 / unit on the window core
+    (Src/cSIFT3D.cc:973-983). wins: (B, Wz, Wy, Wx) ->
+    three (B, Wz-2, Wy-2, Wx-2) arrays (gx, gy, gz)."""
+    inv_u = jnp.float32(1.0) / jnp.float32(unit)
+    gx = jnp.float32(0.5) * (wins[:, 1:-1, 1:-1, 2:] - wins[:, 1:-1, 1:-1, :-2]) * inv_u
+    gy = jnp.float32(0.5) * (wins[:, 1:-1, 2:, 1:-1] - wins[:, 1:-1, :-2, 1:-1]) * inv_u
+    gz = jnp.float32(0.5) * (wins[:, 2:, 1:-1, 1:-1] - wins[:, :-2, 1:-1, 1:-1]) * inv_u
+    return gx, gy, gz

@@ -1,0 +1,189 @@
+"""End-to-end 3D SIFT extraction pipeline (TPU, single chip).
+
+Equivalent of CSIFT3D::KpSiftAlgorithm (Src/cSIFT3D.cc:165-235):
+normalise -> Gaussian scale space -> DoG -> detection -> orientation ->
+descriptors, as one jit-compiled program per input shape. All shapes are
+static: the octave/level structure is unrolled at trace time from the
+PyramidPlan, and keypoints live in fixed-capacity per-level arrays with
+validity masks (TPUs have no dynamic shapes).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import DESC_NUMEL, SiftConfig
+from .pyramid import PyramidPlan, make_plan
+from .ops import gaussian as G
+from .ops import detect as D
+from .ops import orientation as O
+from .ops import descriptor as DE
+from .ops.match import (
+    ENHANCED,
+    MatchResult,
+    match_coords,
+    match_descriptors,
+)
+
+
+class KeypointSet(NamedTuple):
+    """Fixed-capacity keypoint collection for one volume.
+
+    Mirrors the reference Keypoint struct (Include/cSIFT3D.h:52-70): level
+    coordinates, octave/level/scale, original-image coordinates rx/ry/rz,
+    the 3x3 eigenframe rotation, and the 768-D descriptor. `valid` marks
+    lanes holding accepted keypoints (the reference's `filter` vector).
+    """
+
+    xyz: jnp.ndarray       # (K, 3) int32 — x, y, z level coords
+    rxyz: jnp.ndarray      # (K, 3) f32 — original-image coords (x*2^octave)
+    octave: jnp.ndarray    # (K,) int32
+    level: jnp.ndarray     # (K,) int32
+    scale: jnp.ndarray     # (K,) f32
+    rotation: jnp.ndarray  # (K, 3, 3) f32
+    desc: jnp.ndarray      # (K, 768) f32
+    status: jnp.ndarray    # (K,) int32 — 1 accepted, -1/-2/-3 rejected, 0 empty lane
+    valid: jnp.ndarray     # (K,) bool — accepted keypoints
+    counts: jnp.ndarray    # (L,) int32 — raw extrema count per detect level
+
+    @property
+    def num_valid(self):
+        return jnp.sum(self.valid.astype(jnp.int32))
+
+
+def build_pyramids(vol: jnp.ndarray, plan: PyramidPlan):
+    """GSS + DoG pyramids (Build_Gaussian_Scale_Space /
+    Build_DOG_Scale_Space, Src/cSIFT3D.cc:268-360)."""
+    cfg = plan.cfg
+    gl = cfg.gss_levels
+    gss: list[jnp.ndarray] = []
+    for o in range(plan.num_octaves):
+        for i in range(gl):
+            if o == 0 and i == 0:
+                gss.append(G.gaussian_blur(vol, plan.base_sig))
+            elif i == 0:
+                gss.append(G.downsample(gss[(o - 1) * gl + cfg.num_kp_levels]))
+            else:
+                gss.append(G.gaussian_blur(gss[o * gl + i - 1], plan.sigmas[i]))
+    dog: list[jnp.ndarray] = []
+    for o in range(plan.num_octaves):
+        for i in range(1, gl):
+            dog.append(G.dog(gss[o * gl + i - 1], gss[o * gl + i]))
+    return gss, dog
+
+
+def _extract_impl(vol: jnp.ndarray, plan: PyramidPlan) -> KeypointSet:
+    cfg = plan.cfg
+    cap = cfg.max_kp_per_level
+    dl = cfg.dog_levels
+
+    vol = G.data_scale(vol.astype(jnp.float32))
+    gss, dog = build_pyramids(vol, plan)
+
+    sets = []
+    counts = []
+    for o in range(plan.num_octaves):
+        # Pad each octave's GSS levels once; shared by detect levels 1..3.
+        for i in range(1, dl - 1):
+            meta = plan.gss_meta(o, i)
+            det = D.detect_level(
+                dog[o * dl + i - 1], dog[o * dl + i], dog[o * dl + i + 1],
+                cfg.peak_thresh, cap,
+            )
+            counts.append(det.count)
+
+            gss_pad = jnp.pad(gss[o * cfg.gss_levels + i], 1)
+            ori = O.assign_orientation(gss_pad, det, meta, cfg)
+            accepted = det.valid & (ori.status == 1)
+            desc = DE.extract_descriptors(
+                gss_pad, det, ori.rotation, accepted, meta, cfg
+            )
+
+            coord_factor = jnp.float32(2.0 ** o)
+            xyz = jnp.stack([det.x, det.y, det.z], axis=-1)
+            sets.append(
+                KeypointSet(
+                    xyz=xyz,
+                    rxyz=xyz.astype(jnp.float32) * coord_factor,
+                    octave=jnp.full((cap,), o, jnp.int32),
+                    level=jnp.full((cap,), i, jnp.int32),
+                    scale=jnp.full((cap,), meta.scale, jnp.float32),
+                    rotation=ori.rotation,
+                    desc=desc.desc,
+                    status=ori.status,
+                    valid=accepted,
+                    counts=jnp.zeros((0,), jnp.int32),
+                )
+            )
+
+    merged = KeypointSet(
+        xyz=jnp.concatenate([s.xyz for s in sets]),
+        rxyz=jnp.concatenate([s.rxyz for s in sets]),
+        octave=jnp.concatenate([s.octave for s in sets]),
+        level=jnp.concatenate([s.level for s in sets]),
+        scale=jnp.concatenate([s.scale for s in sets]),
+        rotation=jnp.concatenate([s.rotation for s in sets]),
+        desc=jnp.concatenate([s.desc for s in sets]),
+        status=jnp.concatenate([s.status for s in sets]),
+        valid=jnp.concatenate([s.valid for s in sets]),
+        counts=jnp.stack(counts),
+    )
+    return merged
+
+
+class SIFT3D:
+    """User-facing pipeline object (the reference's CSIFT3D + factory,
+    Include/cSIFT3D.h:118-204). One instance per configuration; extraction
+    jit-specialises per input shape and caches the compiled program."""
+
+    def __init__(self, cfg: SiftConfig | None = None):
+        self.cfg = cfg or SiftConfig()
+        self._compiled = {}
+
+    def plan(self, shape: tuple[int, int, int]) -> PyramidPlan:
+        return make_plan(self.cfg, shape)
+
+    def extract(self, volume) -> KeypointSet:
+        """volume: (nz, ny, nx) array-like, any dtype castable to float32."""
+        vol = jnp.asarray(volume)
+        shape = tuple(int(s) for s in vol.shape)
+        if shape not in self._compiled:
+            plan = self.plan(shape)
+            self._compiled[shape] = jax.jit(
+                functools.partial(_extract_impl, plan=plan)
+            )
+        return self._compiled[shape](vol)
+
+
+def enhanced_match(ref: KeypointSet, tar: KeypointSet, threshold: float = 0.85):
+    """muBruteMatcher::enhancedMatch equivalent (Src/cMatcher.cc:226-228).
+
+    Returns (ref_coords, tar_coords, valid): fixed-size (K, 3) arrays;
+    compact with the mask for a dense pair list."""
+    res = match_descriptors(
+        ref.desc, tar.desc, ref.valid, tar.valid, threshold, mode=ENHANCED
+    )
+    return match_coords(ref.rxyz, tar.rxyz, res)
+
+
+def inject_match(ref: KeypointSet, tar: KeypointSet, threshold: float = 0.85):
+    from .ops.match import INJECT
+
+    res = match_descriptors(
+        ref.desc, tar.desc, ref.valid, tar.valid, threshold, mode=INJECT
+    )
+    return match_coords(ref.rxyz, tar.rxyz, res)
+
+
+def biject_match(ref: KeypointSet, tar: KeypointSet, threshold: float = 0.85):
+    from .ops.match import BIJECT
+
+    res = match_descriptors(
+        ref.desc, tar.desc, ref.valid, tar.valid, threshold, mode=BIJECT
+    )
+    return match_coords(ref.rxyz, tar.rxyz, res)
