@@ -56,34 +56,39 @@ class KeypointSet(NamedTuple):
         return jnp.sum(self.valid.astype(jnp.int32))
 
 
-def build_pyramids(vol: jnp.ndarray, plan: PyramidPlan):
+def build_pyramids(vol: jnp.ndarray, plan: PyramidPlan, constrain=None):
     """GSS + DoG pyramids (Build_Gaussian_Scale_Space /
-    Build_DOG_Scale_Space, Src/cSIFT3D.cc:268-360)."""
+    Build_DOG_Scale_Space, Src/cSIFT3D.cc:268-360).
+
+    `constrain` is an optional per-level hook (array -> array) used by the
+    multi-chip layer to attach sharding constraints to every level.
+    """
     cfg = plan.cfg
     gl = cfg.gss_levels
+    c = constrain or (lambda x: x)
     gss: list[jnp.ndarray] = []
     for o in range(plan.num_octaves):
         for i in range(gl):
             if o == 0 and i == 0:
-                gss.append(G.gaussian_blur(vol, plan.base_sig))
+                gss.append(c(G.gaussian_blur(vol, plan.base_sig)))
             elif i == 0:
-                gss.append(G.downsample(gss[(o - 1) * gl + cfg.num_kp_levels]))
+                gss.append(c(G.downsample(gss[(o - 1) * gl + cfg.num_kp_levels])))
             else:
-                gss.append(G.gaussian_blur(gss[o * gl + i - 1], plan.sigmas[i]))
+                gss.append(c(G.gaussian_blur(gss[o * gl + i - 1], plan.sigmas[i])))
     dog: list[jnp.ndarray] = []
     for o in range(plan.num_octaves):
         for i in range(1, gl):
-            dog.append(G.dog(gss[o * gl + i - 1], gss[o * gl + i]))
+            dog.append(c(G.dog(gss[o * gl + i - 1], gss[o * gl + i])))
     return gss, dog
 
 
-def _extract_impl(vol: jnp.ndarray, plan: PyramidPlan) -> KeypointSet:
+def _extract_impl(vol: jnp.ndarray, plan: PyramidPlan, constrain=None) -> KeypointSet:
     cfg = plan.cfg
     cap = cfg.max_kp_per_level
     dl = cfg.dog_levels
 
     vol = G.data_scale(vol.astype(jnp.float32))
-    gss, dog = build_pyramids(vol, plan)
+    gss, dog = build_pyramids(vol, plan, constrain)
 
     sets = []
     counts = []
@@ -100,6 +105,26 @@ def _extract_impl(vol: jnp.ndarray, plan: PyramidPlan) -> KeypointSet:
             gss_pad = jnp.pad(gss[o * cfg.gss_levels + i], 1)
             ori = O.assign_orientation(gss_pad, det, meta, cfg)
             accepted = det.valid & (ori.status == 1)
+
+            # Compact accepted keypoints to the front (stable, so relative
+            # order — and hence parity with the reference's `filter` vector —
+            # is preserved). The descriptor stage then only runs windows for
+            # the dense accepted prefix instead of every block touched by a
+            # scattered survivor.
+            order = jnp.argsort(~accepted, stable=True)
+            det = D.LevelDetections(
+                x=det.x[order], y=det.y[order], z=det.z[order],
+                valid=det.valid[order], count=det.count,
+                threshold=det.threshold,
+            )
+            ori = O.OrientationResult(
+                status=ori.status[order],
+                rotation=ori.rotation[order],
+                str_tensor=ori.str_tensor[order],
+                mean_grad=ori.mean_grad[order],
+            )
+            accepted = accepted[order]
+
             desc = DE.extract_descriptors(
                 gss_pad, det, ori.rotation, accepted, meta, cfg
             )

@@ -1,0 +1,67 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sift3d_tpu import SIFT3D, SiftConfig
+from sift3d_tpu.oracle import fixtures
+from sift3d_tpu.parallel import halo, mesh as M, sharded
+from sift3d_tpu.ops import gaussian as G
+
+
+needs_8 = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+@needs_8
+@pytest.mark.parametrize("sigma", [0.5387, 1.2699, 2.4551])
+def test_halo_blur_matches_single_device(sigma):
+    m = M.make_mesh(8)
+    rng = np.random.default_rng(0)
+    vol = rng.standard_normal((64, 24, 16)).astype(np.float32)
+    want = np.asarray(G.gaussian_blur(jnp.asarray(vol), sigma))
+    got = np.asarray(halo.sharded_gaussian_blur(jnp.asarray(vol), sigma, m))
+    np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-5)
+
+
+@needs_8
+def test_halo_blur_tiny_blocks():
+    # 4-deep blocks with hw up to 8: multi-hop halo exchange
+    m = M.make_mesh(8)
+    rng = np.random.default_rng(1)
+    vol = rng.standard_normal((32, 12, 12)).astype(np.float32)
+    want = np.asarray(G.gaussian_blur(jnp.asarray(vol), 2.4551))
+    got = np.asarray(halo.sharded_gaussian_blur(jnp.asarray(vol), 2.4551, m))
+    np.testing.assert_allclose(got, want, atol=1e-6, rtol=1e-5)
+
+
+@needs_8
+def test_sharded_step_matches_single_device():
+    m = M.make_mesh(8)
+    cfg = SiftConfig(max_kp_per_level=256)
+    ref = fixtures.smooth_random_volume((32, 32, 32), seed=7, smooth=2)
+    tar = fixtures.smooth_random_volume((32, 32, 32), seed=8, smooth=2)
+
+    step, vs = sharded.make_sharded_step(m, ref.shape, cfg)
+    out = step(jax.device_put(ref, vs), jax.device_put(tar, vs))
+
+    sift = SIFT3D(cfg)
+    k_ref = sift.extract(ref)
+    k_tar = sift.extract(tar)
+    from sift3d_tpu import enhanced_match
+
+    rc, tc, valid = enhanced_match(k_ref, k_tar)
+
+    assert int(out["num_ref"]) == int(k_ref.num_valid)
+    assert int(out["num_tar"]) == int(k_tar.num_valid)
+    np.testing.assert_array_equal(np.asarray(out["match_valid"]), np.asarray(valid))
+    np.testing.assert_allclose(
+        np.asarray(out["ref_coords"]), np.asarray(rc), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["tar_coords"]), np.asarray(tc), atol=1e-5
+    )
