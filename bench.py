@@ -1,0 +1,140 @@
+"""Benchmark: extract+match wall-clock on a 256^3 volume pair.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+- value: steady-state wall-clock seconds for extracting keypoints from both
+  volumes of a 256^3 pair and enhanced-matching them on one TPU chip
+  (compile excluded; median of N runs).
+- vs_baseline: speedup vs the CPU reference implementation of the same
+  pipeline. The reference C++ build is MSVC/Windows-only (SURVEY.md §6), so
+  the CPU number is measured from this repo's loop-faithful NumPy oracle on
+  a smaller volume and scaled linearly by voxel count (the pipeline is
+  linear in voxels); the measurement is cached in BENCH_CPU_CACHE.json.
+
+Usage: python bench.py [--size 256] [--runs 5] [--skip-cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+CACHE = Path(__file__).parent / "BENCH_CPU_CACHE.json"
+
+
+def tpu_time(size: int, runs: int, cfg=None) -> tuple[float, dict]:
+    import jax
+
+    from sift3d_tpu import SIFT3D, SiftConfig, enhanced_match
+    from sift3d_tpu.oracle import fixtures
+
+    cfg = cfg or SiftConfig(max_kp_per_level=4096)
+    shape = (size, size, size)
+    ref = fixtures.torus_volume(shape, noise=0.02, seed=0)
+    tar = fixtures.warped_torus(shape, shift=(1.5, -2.0, 1.0))
+
+    sift = SIFT3D(cfg)
+
+    def step(rv, tv):
+        kr = sift.extract(rv)
+        kt = sift.extract(tv)
+        rc, tc, valid = enhanced_match(kr, kt, 0.85)
+        return rc, tc, valid, kr.num_valid, kt.num_valid
+
+    # compile
+    t0 = time.time()
+    out = step(ref, tar)
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+
+    times = []
+    for _ in range(runs):
+        t0 = time.time()
+        out = step(ref, tar)
+        jax.block_until_ready(out)
+        times.append(time.time() - t0)
+
+    rc, tc, valid, n_ref, n_tar = out
+    info = {
+        "compile_s": round(compile_s, 2),
+        "ref_keypoints": int(n_ref),
+        "tar_keypoints": int(n_tar),
+        "matches": int(np.asarray(valid).sum()),
+        "times": [round(t, 4) for t in times],
+    }
+    return float(np.median(times)), info
+
+
+def cpu_oracle_time(size: int) -> float:
+    """CPU oracle wall-clock for one extract+match pair at `size`^3, from
+    cache or measured at a feasible size and scaled by voxel count."""
+    cache = {}
+    if CACHE.exists():
+        cache = json.loads(CACHE.read_text())
+    key = str(size)
+    if key in cache:
+        return cache[key]["seconds"]
+
+    measure_size = min(size, 64)
+    mkey = f"measured_{measure_size}"
+    if mkey not in cache:
+        from sift3d_tpu.oracle import cpu_match, cpu_sift, fixtures
+
+        shape = (measure_size,) * 3
+        ref = fixtures.torus_volume(shape, noise=0.02, seed=0)
+        tar = fixtures.warped_torus(shape, shift=(1.5, -2.0, 1.0))
+        t0 = time.time()
+        rr = cpu_sift.run_sift(ref)
+        tt = cpu_sift.run_sift(tar)
+        if rr.keypoints and tt.keypoints:
+            cpu_match.match_coords(rr.keypoints, tt.keypoints, 0.85)
+        cache[mkey] = {"seconds": time.time() - t0}
+        CACHE.write_text(json.dumps(cache, indent=1))
+
+    scale = (size / measure_size) ** 3
+    secs = cache[mkey]["seconds"] * scale
+    cache[key] = {"seconds": secs, "scaled_from": measure_size}
+    CACHE.write_text(json.dumps(cache, indent=1))
+    return secs
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--skip-cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", str(Path(__file__).parent / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    value, info = tpu_time(args.size, args.runs)
+
+    vs_baseline = None
+    if not args.skip_cpu:
+        cpu_s = cpu_oracle_time(args.size)
+        vs_baseline = round(cpu_s / value, 2)
+        info["cpu_oracle_s"] = round(cpu_s, 2)
+
+    print(
+        json.dumps(
+            {
+                "metric": f"extract_match_{args.size}cubed_pair_wallclock",
+                "value": round(value, 4),
+                "unit": "s",
+                "vs_baseline": vs_baseline,
+                **{"info": info},
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -91,62 +91,65 @@ def _extract_impl(vol: jnp.ndarray, plan: PyramidPlan, constrain=None) -> Keypoi
     gss, dog = build_pyramids(vol, plan, constrain)
 
     sets = []
-    counts = []
     for o in range(plan.num_octaves):
-        # Pad each octave's GSS levels once; shared by detect levels 1..3.
         for i in range(1, dl - 1):
-            meta = plan.gss_meta(o, i)
-            det = D.detect_level(
-                dog[o * dl + i - 1], dog[o * dl + i], dog[o * dl + i + 1],
-                cfg.peak_thresh, cap,
-            )
-            counts.append(det.count)
-
-            gss_pad = jnp.pad(gss[o * cfg.gss_levels + i], 1)
-            ori = O.assign_orientation(gss_pad, det, meta, cfg)
-            accepted = det.valid & (ori.status == 1)
-
-            # Compact accepted keypoints to the front (stable, so relative
-            # order — and hence parity with the reference's `filter` vector —
-            # is preserved). The descriptor stage then only runs windows for
-            # the dense accepted prefix instead of every block touched by a
-            # scattered survivor.
-            order = jnp.argsort(~accepted, stable=True)
-            det = D.LevelDetections(
-                x=det.x[order], y=det.y[order], z=det.z[order],
-                valid=det.valid[order], count=det.count,
-                threshold=det.threshold,
-            )
-            ori = O.OrientationResult(
-                status=ori.status[order],
-                rotation=ori.rotation[order],
-                str_tensor=ori.str_tensor[order],
-                mean_grad=ori.mean_grad[order],
-            )
-            accepted = accepted[order]
-
-            desc = DE.extract_descriptors(
-                gss_pad, det, ori.rotation, accepted, meta, cfg
-            )
-
-            coord_factor = jnp.float32(2.0 ** o)
-            xyz = jnp.stack([det.x, det.y, det.z], axis=-1)
             sets.append(
-                KeypointSet(
-                    xyz=xyz,
-                    rxyz=xyz.astype(jnp.float32) * coord_factor,
-                    octave=jnp.full((cap,), o, jnp.int32),
-                    level=jnp.full((cap,), i, jnp.int32),
-                    scale=jnp.full((cap,), meta.scale, jnp.float32),
-                    rotation=ori.rotation,
-                    desc=desc.desc,
-                    status=ori.status,
-                    valid=accepted,
-                    counts=jnp.zeros((0,), jnp.int32),
+                _level_stage(
+                    dog[o * dl + i - 1], dog[o * dl + i], dog[o * dl + i + 1],
+                    gss[o * cfg.gss_levels + i],
+                    plan=plan, o=o, i=i,
                 )
             )
+    return merge_sets(sets)
 
-    merged = KeypointSet(
+
+def _level_stage(dog_prev, dog_cur, dog_next, gss_level, *, plan, o, i):
+    """Detection + orientation + descriptors for one (octave, level).
+
+    Kept as its own jit unit: compiling one module per level is dramatically
+    faster than one end-to-end program (XLA compile time is superlinear in
+    module size), and level modules are reused from the persistent cache.
+    """
+    cfg = plan.cfg
+    cap = cfg.max_kp_per_level
+    meta = plan.gss_meta(o, i)
+
+    det = D.detect_level(dog_prev, dog_cur, dog_next, cfg.peak_thresh, cap)
+    gss_pad = jnp.pad(gss_level, 1)
+    ori = O.assign_orientation(gss_pad, det, meta, cfg)
+    accepted = det.valid & (ori.status == 1)
+
+    order = jnp.argsort(~accepted, stable=True)
+    det = D.LevelDetections(
+        x=det.x[order], y=det.y[order], z=det.z[order],
+        valid=det.valid[order], count=det.count, threshold=det.threshold,
+    )
+    ori = O.OrientationResult(
+        status=ori.status[order], rotation=ori.rotation[order],
+        str_tensor=ori.str_tensor[order], mean_grad=ori.mean_grad[order],
+    )
+    accepted = accepted[order]
+
+    desc = DE.extract_descriptors(gss_pad, det, ori.rotation, accepted, meta, cfg)
+
+    coord_factor = jnp.float32(2.0 ** o)
+    xyz = jnp.stack([det.x, det.y, det.z], axis=-1)
+    return KeypointSet(
+        xyz=xyz,
+        rxyz=xyz.astype(jnp.float32) * coord_factor,
+        octave=jnp.full((cap,), o, jnp.int32),
+        level=jnp.full((cap,), i, jnp.int32),
+        scale=jnp.full((cap,), meta.scale, jnp.float32),
+        rotation=ori.rotation,
+        desc=desc.desc,
+        status=ori.status,
+        valid=accepted,
+        counts=det.count[None],
+    )
+
+
+def merge_sets(sets: list[KeypointSet]) -> KeypointSet:
+    return KeypointSet(
         xyz=jnp.concatenate([s.xyz for s in sets]),
         rxyz=jnp.concatenate([s.rxyz for s in sets]),
         octave=jnp.concatenate([s.octave for s in sets]),
@@ -156,33 +159,57 @@ def _extract_impl(vol: jnp.ndarray, plan: PyramidPlan, constrain=None) -> Keypoi
         desc=jnp.concatenate([s.desc for s in sets]),
         status=jnp.concatenate([s.status for s in sets]),
         valid=jnp.concatenate([s.valid for s in sets]),
-        counts=jnp.stack(counts),
+        counts=jnp.concatenate([s.counts for s in sets]),
     )
-    return merged
 
 
 class SIFT3D:
     """User-facing pipeline object (the reference's CSIFT3D + factory,
-    Include/cSIFT3D.h:118-204). One instance per configuration; extraction
-    jit-specialises per input shape and caches the compiled program."""
+    Include/cSIFT3D.h:118-204). One instance per configuration.
+
+    Extraction is staged: one jit for the pyramid build, one jit per detect
+    level. Each stage caches its compiled program per input shape.
+    """
 
     def __init__(self, cfg: SiftConfig | None = None):
         self.cfg = cfg or SiftConfig()
-        self._compiled = {}
+        self._pyramid_jit = {}
+        self._level_jits = {}
 
     def plan(self, shape: tuple[int, int, int]) -> PyramidPlan:
         return make_plan(self.cfg, shape)
 
     def extract(self, volume) -> KeypointSet:
         """volume: (nz, ny, nx) array-like, any dtype castable to float32."""
-        vol = jnp.asarray(volume)
+        vol = jnp.asarray(volume, dtype=jnp.float32)
         shape = tuple(int(s) for s in vol.shape)
-        if shape not in self._compiled:
-            plan = self.plan(shape)
-            self._compiled[shape] = jax.jit(
-                functools.partial(_extract_impl, plan=plan)
-            )
-        return self._compiled[shape](vol)
+        plan = self.plan(shape)
+
+        if shape not in self._pyramid_jit:
+            def pyramids(v):
+                v = G.data_scale(v)
+                return build_pyramids(v, plan)
+
+            self._pyramid_jit[shape] = jax.jit(pyramids)
+        gss, dog = self._pyramid_jit[shape](vol)
+
+        cfg = self.cfg
+        dl = cfg.dog_levels
+        sets = []
+        for o in range(plan.num_octaves):
+            for i in range(1, dl - 1):
+                key = (shape, o, i)
+                if key not in self._level_jits:
+                    self._level_jits[key] = jax.jit(
+                        functools.partial(_level_stage, plan=plan, o=o, i=i)
+                    )
+                sets.append(
+                    self._level_jits[key](
+                        dog[o * dl + i - 1], dog[o * dl + i], dog[o * dl + i + 1],
+                        gss[o * cfg.gss_levels + i],
+                    )
+                )
+        return merge_sets(sets)
 
 
 def enhanced_match(ref: KeypointSet, tar: KeypointSet, threshold: float = 0.85):

@@ -55,3 +55,14 @@ def test_matrixio_roundtrip(tmp_path):
 
     m, n, pp = struct.unpack("<3i", p.read_bytes()[:12])
     assert (m, n, pp) == (7, 5, 3)
+
+
+def test_native_reader_parity(tmp_path):
+    from sift3d_tpu.io import native
+
+    rng = np.random.default_rng(9)
+    for suffix, dt in [(".nii", np.float32), (".nii.gz", np.int16)]:
+        vol = (rng.standard_normal((6, 7, 8)) * 50).astype(dt)
+        p = tmp_path / f"v{suffix}"
+        nifti.write_nii(p, vol)
+        np.testing.assert_array_equal(native.read_nii(p), nifti.read_nii(p))

@@ -1,0 +1,128 @@
+"""Rigid/affine estimation, RANSAC, and pose-graph refinement tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sift3d_tpu.parallel import registration as R
+from sift3d_tpu.parallel import mesh as M
+
+
+def _random_pose(rng, angle=0.5, trans=5.0):
+    w = rng.standard_normal(3)
+    w = w / np.linalg.norm(w) * rng.uniform(0, angle)
+    Rm = np.asarray(R.exp_so3(jnp.asarray(w, jnp.float32)))
+    t = rng.uniform(-trans, trans, 3).astype(np.float32)
+    return Rm.astype(np.float32), t
+
+
+def test_exp_log_roundtrip():
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((16, 3)).astype(np.float32) * 0.8
+    Rm = R.exp_so3(jnp.asarray(w))
+    w2 = np.asarray(R.log_so3(Rm))
+    np.testing.assert_allclose(w2, w, atol=1e-4)
+
+
+def test_estimate_rigid_exact():
+    rng = np.random.default_rng(1)
+    Rm, t = _random_pose(rng)
+    src = rng.uniform(-20, 20, (50, 3)).astype(np.float32)
+    dst = src @ Rm.T + t
+    pose = R.estimate_rigid(jnp.asarray(src), jnp.asarray(dst))
+    np.testing.assert_allclose(np.asarray(pose.R), Rm, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(pose.t), t, atol=1e-3)
+
+
+def test_estimate_affine_exact():
+    rng = np.random.default_rng(2)
+    A = rng.standard_normal((3, 4)).astype(np.float32)
+    src = rng.uniform(-10, 10, (60, 3)).astype(np.float32)
+    dst = src @ A[:, :3].T + A[:, 3]
+    got = np.asarray(R.estimate_affine(jnp.asarray(src), jnp.asarray(dst)))
+    np.testing.assert_allclose(got, A, atol=1e-3)
+
+
+def test_ransac_rejects_outliers():
+    rng = np.random.default_rng(3)
+    Rm, t = _random_pose(rng)
+    src = rng.uniform(-20, 20, (100, 3)).astype(np.float32)
+    dst = src @ Rm.T + t
+    # corrupt 30%
+    bad = rng.choice(100, 30, replace=False)
+    dst[bad] += rng.uniform(10, 30, (30, 3))
+    valid = np.ones(100, bool)
+    pose, inliers = R.ransac_rigid(
+        jnp.asarray(src), jnp.asarray(dst), jnp.asarray(valid),
+        jax.random.PRNGKey(0), iters=64, inlier_thresh=1.0,
+    )
+    np.testing.assert_allclose(np.asarray(pose.R), Rm, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(pose.t), t, atol=1e-2)
+    inl = np.asarray(inliers)
+    assert not inl[bad].any()
+    assert inl.sum() == 70
+
+
+def _chain_problem(n=4, seed=4):
+    """Ground-truth poses + noisy chain measurements + loop closure."""
+    rng = np.random.default_rng(seed)
+    Rs, ts = [np.eye(3, dtype=np.float32)], [np.zeros(3, np.float32)]
+    for _ in range(n - 1):
+        Rm, t = _random_pose(rng, angle=0.4, trans=3.0)
+        Rs.append(Rm)
+        ts.append(t)
+    gt = R.Pose(jnp.asarray(np.stack(Rs)), jnp.asarray(np.stack(ts)))
+
+    edges = [(i, i + 1) for i in range(n - 1)] + [(0, n - 1)]
+    mi, mj, mR, mt = [], [], [], []
+    for i, j in edges:
+        Ti = R.Pose(gt.R[i], gt.t[i])
+        Tj = R.Pose(gt.R[j], gt.t[j])
+        meas = Ti.inverse().compose(Tj)
+        # small noise
+        dw = rng.standard_normal(3).astype(np.float32) * 0.01
+        dt = rng.standard_normal(3).astype(np.float32) * 0.05
+        noisy = R.Pose(R.exp_so3(jnp.asarray(dw)) @ meas.R, meas.t + dt)
+        mi.append(i); mj.append(j); mR.append(np.asarray(noisy.R)); mt.append(np.asarray(noisy.t))
+    meas = R.Pose(jnp.asarray(np.stack(mR)), jnp.asarray(np.stack(mt)))
+    return gt, jnp.asarray(mi), jnp.asarray(mj), meas
+
+
+def test_pose_graph_refinement_converges():
+    gt, ei, ej, meas = _chain_problem(n=4)
+    n = gt.R.shape[0]
+    init = R.identity_poses(n)
+    refined = R.refine_pose_graph(init, ei, ej, meas, iters=20)
+    # compare relative poses (global gauge anchored at 0)
+    for k in range(n):
+        Tk = R.Pose(refined.R[k], refined.t[k])
+        Gk = R.Pose(gt.R[k], gt.t[k])
+        rel = Tk.inverse().compose(Gk)
+        ang = float(jnp.linalg.norm(R.log_so3(rel.R)))
+        assert ang < 0.05, (k, ang)
+        assert float(jnp.linalg.norm(rel.t)) < 0.3, k
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_pose_graph_sharded_matches_single():
+    gt, ei, ej, meas = _chain_problem(n=8, seed=5)
+    # pad edges to a multiple of 8 with identity self-edges on the anchor
+    pad = (-len(ei)) % 8
+    ei = jnp.concatenate([ei, jnp.zeros(pad, ei.dtype)])
+    ej = jnp.concatenate([ej, jnp.zeros(pad, ej.dtype)])
+    meas = R.Pose(
+        jnp.concatenate([meas.R, jnp.broadcast_to(jnp.eye(3), (pad, 3, 3))]),
+        jnp.concatenate([meas.t, jnp.zeros((pad, 3))]),
+    )
+    init = R.identity_poses(gt.R.shape[0])
+    single = R.refine_pose_graph(init, ei, ej, meas, iters=10)
+    m = M.make_mesh(8)
+    sharded = R.refine_pose_graph_sharded(init, ei, ej, meas, m, iters=10)
+    np.testing.assert_allclose(
+        np.asarray(sharded.R), np.asarray(single.R), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.t), np.asarray(single.t), atol=1e-3
+    )
