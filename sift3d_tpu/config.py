@@ -70,6 +70,9 @@ class SiftConfig:
     max_kp_per_level: int = 4096
     # Keypoint batch size for the orientation/descriptor window stages.
     kp_block: int = 32
+    # Descriptor binning backend: None = auto (Pallas kernel on TPU, XLA
+    # elsewhere); True/False forces.
+    use_pallas: bool | None = None
 
     @property
     def gss_levels(self) -> int:

@@ -48,7 +48,7 @@ from ..pyramid import LevelMeta
 from . import windows as W
 from .detect import LevelDetections
 
-_FLOAT_BUDGET = 2 ** 26  # ~64M live floats in the windowed stage per block
+_FLOAT_BUDGET = 2 ** 27  # ~128M live floats in the windowed stage per block
 
 
 class DescriptorResult(NamedTuple):
@@ -111,6 +111,82 @@ def _axis_weights(vb: jnp.ndarray) -> jnp.ndarray:
     return w_lo + w_hi  # (..., 4)
 
 
+def _use_pallas(cfg: SiftConfig) -> bool:
+    if cfg.use_pallas is not None:
+        return cfg.use_pallas
+    return jax.default_backend() == "tpu"
+
+
+def _core_offset_maps(wshape, cp):
+    """Per-axis core-voxel offset maps (cp,) int32, padded with sentinels
+    that fail every box test."""
+    wz, wy, wx = (w - 2 for w in wshape)
+    c = wz * wy * wx
+    idx = np.arange(c, dtype=np.int64)
+    jz = (idx // (wy * wx)).astype(np.int32)
+    jy = ((idx // wx) % wy).astype(np.int32)
+    jx = (idx % wx).astype(np.int32)
+    pad = cp - c
+    big = np.int32(1 << 20)
+    return (
+        np.concatenate([jz, np.full(pad, big, np.int32)]),
+        np.concatenate([jy, np.full(pad, big, np.int32)]),
+        np.concatenate([jx, np.full(pad, big, np.int32)]),
+    )
+
+
+def _desc_one_block_pallas(
+    gss_pad, bx, by, bz, rot, kp_ok, meta: LevelMeta, consts
+):
+    """Pallas-kernel variant of _desc_one_block (same outputs)."""
+    from .pallas.descriptor_kernel import TILE, descriptor_bins_pallas
+
+    (r_vox, win_radius, sigma, desc_hw, desc_bin_fctr, wshape) = consts
+    nz, ny, nx = meta.shape
+    unit = meta.unit
+    B = bx.shape[0]
+    Wz, Wy, Wx = wshape
+    C = (Wz - 2) * (Wy - 2) * (Wx - 2)
+    Cp = -(-C // TILE) * TILE
+
+    wins, starts = W.gather_windows(gss_pad, bx, by, bz, wshape)
+    gx, gy, gz = W.central_gradients(wins, unit)
+    pad = ((0, 0), (0, Cp - C))
+    gx = jnp.pad(gx.reshape(B, C), pad)
+    gy = jnp.pad(gy.reshape(B, C), pad)
+    gz = jnp.pad(gz.reshape(B, C), pad)
+
+    jzm, jym, jxm = (jnp.asarray(m) for m in _core_offset_maps(wshape, Cp))
+
+    xs_lo, xs_hi = W.box_bounds(bx, r_vox, nx)
+    ys_lo, ys_hi = W.box_bounds(by, r_vox, ny)
+    zs_lo, zs_hi = W.box_bounds(bz, r_vox, nz)
+    sz, sy, sx = starts
+    kpi = jnp.stack(
+        [sz, sy, sx, bx, by, bz, xs_lo, xs_hi, ys_lo, ys_hi, zs_lo, zs_hi],
+        axis=1,
+    ).astype(jnp.int32)
+    kpok = kp_ok.astype(jnp.int32)
+    rotT = jnp.swapaxes(rot, 1, 2).reshape(B, 9)
+    rotT = jnp.pad(rotT, ((0, 0), (0, 7)))
+
+    consts_k = (
+        float(unit), float(win_radius), float(sigma),
+        float(desc_hw), float(desc_bin_fctr),
+    )
+    interpret = jax.default_backend() != "tpu"
+    T = descriptor_bins_pallas(
+        gx, gy, gz, jzm, jym, jxm, kpi, kpok, rotT, consts_k,
+        interpret=interpret,
+    )
+    desc = (
+        T.reshape(B, 4, 4, 4, 12)
+        .transpose(0, 3, 2, 1, 4)
+        .reshape(B, DESC_NUMEL)
+    )
+    return desc
+
+
 def _desc_one_block(
     gss_pad, bx, by, bz, rot, kp_ok, meta: LevelMeta, consts
 ):
@@ -128,38 +204,42 @@ def _desc_one_block(
     az, ay, ax = W.core_coords(starts, wshape)
     gx, gy, gz = W.central_gradients(wins, unit)
 
+    # Flatten window voxels to (B, C) immediately: everything after the
+    # gradients is per-voxel math, and XLA compiles/fuses large 2-D graphs
+    # far faster than the equivalent 5-D ones.
+    core = (Wz - 2, Wy - 2, Wx - 2)
+    gx = gx.reshape(B, C)
+    gy = gy.reshape(B, C)
+    gz = gz.reshape(B, C)
+
+    def expand(v, axis):
+        shape = [1, 1, 1]
+        shape[axis] = core[axis]
+        return jnp.broadcast_to(
+            v.reshape((B,) + tuple(shape)), (B,) + core
+        ).reshape(B, C)
+
     xs_lo, xs_hi = W.box_bounds(bx, r_vox, nx)
     ys_lo, ys_hi = W.box_bounds(by, r_vox, ny)
     zs_lo, zs_hi = W.box_bounds(bz, r_vox, nz)
-    mx = (ax >= xs_lo[:, None]) & (ax <= xs_hi[:, None])
-    my = (ay >= ys_lo[:, None]) & (ay <= ys_hi[:, None])
-    mz = (az >= zs_lo[:, None]) & (az <= zs_hi[:, None])
+    mx = expand((ax >= xs_lo[:, None]) & (ax <= xs_hi[:, None]), 2)
+    my = expand((ay >= ys_lo[:, None]) & (ay <= ys_hi[:, None]), 1)
+    mz = expand((az >= zs_lo[:, None]) & (az <= zs_hi[:, None]), 0)
 
     u = jnp.float32(unit)
-    dx = (ax.astype(jnp.float32) - bx.astype(jnp.float32)[:, None]) * u
-    dy = (ay.astype(jnp.float32) - by.astype(jnp.float32)[:, None]) * u
-    dz = (az.astype(jnp.float32) - bz.astype(jnp.float32)[:, None]) * u
+    dx = expand((ax.astype(jnp.float32) - bx.astype(jnp.float32)[:, None]) * u, 2)
+    dy = expand((ay.astype(jnp.float32) - by.astype(jnp.float32)[:, None]) * u, 1)
+    dz = expand((az.astype(jnp.float32) - bz.astype(jnp.float32)[:, None]) * u, 0)
 
-    sq = (
-        dz[:, :, None, None] ** 2
-        + dy[:, None, :, None] ** 2
-        + dx[:, None, None, :] ** 2
-    )
-    in_box = mz[:, :, None, None] & my[:, None, :, None] & mx[:, None, None, :]
+    sq = dz * dz + dy * dy + dx * dx
+    in_box = mz & my & mx
     r2 = jnp.float32(win_radius) * jnp.float32(win_radius)
     in_sphere = sq <= r2
 
-    disp = jnp.stack(
-        [
-            jnp.broadcast_to(dx[:, None, None, :], sq.shape),
-            jnp.broadcast_to(dy[:, None, :, None], sq.shape),
-            jnp.broadcast_to(dz[:, :, None, None], sq.shape),
-        ],
-        axis=-1,
-    )  # (B, wz, wy, wx, 3)
+    disp = jnp.stack([dx, dy, dz], axis=-1)  # (B, C, 3)
 
     # vrot = R^T disp  ==  disp @ R (per keypoint)
-    vrot = jnp.einsum("bzyxi,bij->bzyxj", disp, rot,
+    vrot = jnp.einsum("bci,bij->bcj", disp, rot,
                       precision=jax.lax.Precision.HIGHEST)
     vbins = (vrot + jnp.float32(desc_hw)) * jnp.float32(desc_bin_fctr) - jnp.float32(0.5)
     bins_ok = jnp.all((vbins > -0.5) & (vbins < 3.5), axis=-1)
@@ -167,31 +247,30 @@ def _desc_one_block(
     sigma2 = jnp.float32(sigma) * jnp.float32(sigma)
     wgt = jnp.exp(jnp.float32(-0.5) * sq / sigma2)
     grad = jnp.stack([gx, gy, gz], axis=-1) * wgt[..., None]
-    grad_rot = jnp.einsum("bzyxi,bij->bzyxj", grad, rot,
+    grad_rot = jnp.einsum("bci,bij->bcj", grad, rot,
                           precision=jax.lax.Precision.HIGHEST)
 
     face, bary = _first_hit_faces(grad_rot)
     mag = jnp.sqrt(jnp.sum(grad_rot * grad_rot, axis=-1))
 
-    contrib = in_box & in_sphere & bins_ok & (face >= 0) & kp_ok[:, None, None, None]
+    contrib = in_box & in_sphere & bins_ok & (face >= 0) & kp_ok[:, None]
 
     # Dense separable binning -> two MXU matmuls per keypoint.
-    wx4 = _axis_weights(vbins[..., 0]).reshape(B, C, 4)
-    wy4 = _axis_weights(vbins[..., 1]).reshape(B, C, 4)
-    wz4 = _axis_weights(vbins[..., 2]).reshape(B, C, 4)
+    wx4 = _axis_weights(vbins[..., 0])
+    wy4 = _axis_weights(vbins[..., 1])
+    wz4 = _axis_weights(vbins[..., 2])
 
-    vert_ids = jnp.asarray(TRI_IDX)[jnp.clip(face, 0, 19)]  # (B, wz, wy, wx, 3)
-    scale_c = jnp.where(contrib, mag, 0.0).reshape(B, C)
-    vids = vert_ids.reshape(B, C, 3)
-    bary_c = bary.reshape(B, C, 3)
+    vids = jnp.asarray(TRI_IDX)[jnp.clip(face, 0, 19)]  # (B, C, 3)
+    scale_c = jnp.where(contrib, mag, 0.0)              # (B, C)
+    bary_c = bary
     verts = jnp.arange(12, dtype=jnp.int32)
     Bmat = jnp.sum(
         (vids[..., None] == verts) * bary_c[..., None], axis=2
     ) * scale_c[..., None]  # (B, C, 12)
 
     hi = jax.lax.Precision.HIGHEST
-    G = jnp.einsum("bcx,bcy->bcxy", wx4, wy4, precision=hi).reshape(B, C, 16)
-    H = jnp.einsum("bcz,bcv->bczv", wz4, Bmat, precision=hi).reshape(B, C, 48)
+    G = (wx4[:, :, :, None] * wy4[:, :, None, :]).reshape(B, C, 16)
+    H = (wz4[:, :, :, None] * Bmat[:, :, None, :]).reshape(B, C, 48)
     T = jnp.einsum("bcg,bch->bgh", G, H, precision=hi)  # (B, 16, 48)
 
     desc = (
@@ -243,24 +322,29 @@ def extract_descriptors(
     rots = jnp.pad(rot, ((0, pad), (0, 0), (0, 0)))
     oks = jnp.pad(accepted, (0, pad))
 
-    # Only blocks containing accepted keypoints need the windowed stage.
-    blk_counts = jnp.sum(oks.reshape(nblocks, block), axis=1)
+    # Accepted keypoints form a dense prefix (pipeline compaction), so a
+    # while_loop over ceil(n_accepted / block) blocks does exactly the
+    # necessary window work and empty levels cost nothing.
+    n_acc = jnp.sum(accepted.astype(jnp.int32))
+    nneeded = (n_acc + block - 1) // block
 
-    def run(args):
-        bx, by, bz, br, bok = args
-        return _desc_one_block(gss_pad, bx, by, bz, br, bok, meta, consts)
+    def cond(state):
+        return state[0] < nneeded
 
-    def skip(args):
-        return jnp.zeros((block, DESC_NUMEL), jnp.float32)
+    block_fn = _desc_one_block_pallas if _use_pallas(cfg) else _desc_one_block
 
-    def step(i):
+    def body(state):
+        i, acc = state
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i * block, block)
-        args = (sl(xs), sl(ys), sl(zs),
-                jax.lax.dynamic_slice_in_dim(rots, i * block, block),
-                sl(oks))
-        return jax.lax.cond(blk_counts[i] > 0, run, skip, args)
+        d = block_fn(
+            gss_pad, sl(xs), sl(ys), sl(zs), sl(rots), sl(oks), meta, consts
+        )
+        acc = jax.lax.dynamic_update_slice(acc, d, (i * block, 0))
+        return i + 1, acc
 
-    desc = jax.lax.map(step, jnp.arange(nblocks)).reshape(-1, DESC_NUMEL)[:cap]
+    desc0 = jnp.zeros((nblocks * block, DESC_NUMEL), jnp.float32)
+    _, desc = jax.lax.while_loop(cond, body, (jnp.int32(0), desc0))
+    desc = desc[:cap]
 
     desc = _normalize(desc)
     desc = jnp.minimum(desc, jnp.float32(0.2 * 128 / DESC_NUMEL))

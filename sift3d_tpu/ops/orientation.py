@@ -101,22 +101,28 @@ def _window_stats(
         mg = jnp.stack([rsum(gx * w), rsum(gy * w), rsum(gz * w)], axis=-1)
         return st, mg
 
-    def empty(args):
-        b = args[0].shape[0]
-        return jnp.zeros((b, 6), jnp.float32), jnp.zeros((b, 3), jnp.float32)
+    # Iterate exactly ceil(count / kp_block) blocks (detections are a dense
+    # prefix after compaction); a while_loop runs only the needed blocks so
+    # empty levels cost nothing.
+    count = jnp.minimum(det.count, cap)
+    nneeded = (count + kp_block - 1) // kp_block
 
-    count = det.count
+    st0 = jnp.zeros((nblocks * kp_block, 6), jnp.float32)
+    mg0 = jnp.zeros((nblocks * kp_block, 3), jnp.float32)
 
-    def step(i):
-        has_work = i * kp_block < count
+    def cond(state):
+        return state[0] < nneeded
+
+    def body(state):
+        i, st_acc, mg_acc = state
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i * kp_block, kp_block)
-        args = (sl(xs), sl(ys), sl(zs))
-        return jax.lax.cond(has_work, block, empty, args)
+        st_b, mg_b = block((sl(xs), sl(ys), sl(zs)))
+        st_acc = jax.lax.dynamic_update_slice(st_acc, st_b, (i * kp_block, 0))
+        mg_acc = jax.lax.dynamic_update_slice(mg_acc, mg_b, (i * kp_block, 0))
+        return i + 1, st_acc, mg_acc
 
-    st_blocks, mg_blocks = jax.lax.map(step, jnp.arange(nblocks))
-    st = st_blocks.reshape(-1, 6)[:cap]
-    mg = mg_blocks.reshape(-1, 3)[:cap]
-    return st, mg
+    _, st, mg = jax.lax.while_loop(cond, body, (jnp.int32(0), st0, mg0))
+    return st[:cap], mg[:cap]
 
 
 def _sym_from_packed(st: jnp.ndarray) -> jnp.ndarray:

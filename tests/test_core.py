@@ -1,0 +1,125 @@
+"""Fast unit tests: config constants, geometry, sigma schedule, pyramid plan."""
+
+import math
+
+import numpy as np
+
+from sift3d_tpu import config as C
+from sift3d_tpu.geometry import MESH_CONST, TRI_IDX, TRI_VERTS, build_mesh
+from sift3d_tpu.pyramid import (
+    base_sigma,
+    gaussian_kernel,
+    make_plan,
+    sigma_schedule,
+    smoothing_matrix,
+)
+
+
+def test_constants_match_reference():
+    assert C.DESC_NUMEL == 768
+    assert abs(C.TRUNC_THRESH - 0.2 * 128 / 768) < 1e-12
+    assert C.ICOS_NFACES == 20 and C.ICOS_NVERT == 12
+    cfg = C.SiftConfig()
+    assert cfg.gss_levels == 6 and cfg.dog_levels == 5
+    assert abs(cfg.sigma0() - 1.6 * 2 ** (-1 / 3)) < 1e-12
+
+
+def test_octave_count():
+    cfg = C.SiftConfig()
+    assert cfg.num_octaves((256, 256, 256)) == 6
+    assert cfg.num_octaves((128, 256, 256)) == 5
+    assert cfg.num_octaves((32, 32, 32)) == 3   # 32 -> 16 -> 8
+    assert cfg.num_octaves((16, 16, 16)) == 2
+
+
+def test_icosahedron_geometry():
+    verts, idx = build_mesh()
+    assert verts.shape == (20, 3, 3) and idx.shape == (20, 3)
+    # all vertices unit length
+    np.testing.assert_allclose(np.linalg.norm(verts, axis=-1), 1.0, atol=1e-6)
+    # outward winding: dot(cross(v2-v1, v1-v0), v0) >= 0 after the fix
+    t1 = verts[:, 2] - verts[:, 1]
+    t2 = verts[:, 1] - verts[:, 0]
+    n = np.cross(t1, t2)
+    assert (np.sum(n * verts[:, 0], axis=-1) >= 0).all()
+    # faces tile the sphere: every direction hits exactly one face interior
+    rng = np.random.default_rng(0)
+    dirs = rng.standard_normal((500, 3)).astype(np.float32)
+    from sift3d_tpu.oracle.cpu_sift import _cart2bary_first_face
+
+    face, bary = _cart2bary_first_face(dirs)
+    assert (face >= 0).all()
+    # barycentric coordinates approximately sum to 1 and are >= -eps
+    np.testing.assert_allclose(bary.sum(-1), 1.0, atol=1e-4)
+    assert (bary >= -C.BARY_EPS).all()
+
+
+def test_mesh_constants_consistent():
+    v0 = TRI_VERTS[:, 0]
+    np.testing.assert_allclose(MESH_CONST["t"], -v0, atol=0)
+    np.testing.assert_allclose(
+        MESH_CONST["e1"], TRI_VERTS[:, 1] - v0, atol=0
+    )
+
+
+def test_sigma_schedule_values():
+    cfg = C.SiftConfig()
+    s = sigma_schedule(cfg)
+    sigma0 = 1.6 * 2 ** (-1 / 3)
+    k = 2 ** (1 / 3)
+    assert abs(s[0] - sigma0) < 1e-6
+    for i in range(1, 6):
+        want = math.sqrt((k ** i * sigma0) ** 2 - (k ** (i - 1) * sigma0) ** 2)
+        assert abs(float(s[i]) - want) < 1e-5, i
+    # base blur removes the nominal scale
+    assert abs(base_sigma(cfg) - math.sqrt(sigma0 ** 2 - 1.15 ** 2)) < 1e-6
+
+
+def test_kernel_width_rule():
+    # half_width = max(ceil(3 sigma), 1)
+    assert len(gaussian_kernel(0.1)) == 2 * 1 + 1
+    assert len(gaussian_kernel(1.0)) == 2 * 3 + 1
+    assert len(gaussian_kernel(2.4551)) == 2 * 8 + 1
+
+
+def test_plan_metadata():
+    cfg = C.SiftConfig()
+    plan = make_plan(cfg, (64, 64, 64))
+    assert plan.num_octaves == 4  # 64 -> 32 -> 16 -> 8
+    m00 = plan.gss_meta(0, 0)
+    assert m00.shape == (64, 64, 64) and m00.unit == 1.0
+    m21 = plan.gss_meta(2, 1)
+    assert m21.shape == (16, 16, 16) and m21.unit == 4.0
+    sigma0 = cfg.sigma0()
+    assert abs(m21.scale - sigma0 * 2 ** (2 + 1 / 3)) < 1e-4
+    # DoG level scale mirrors GSS
+    assert plan.dog_meta(1, 2).scale == plan.gss_meta(1, 2).scale
+
+
+def test_smoothing_matrix_interior_is_plain_band():
+    k = gaussian_kernel(1.0)
+    W = smoothing_matrix(32, k)
+    # interior row 10: taps at [7..13]
+    np.testing.assert_array_equal(W[10, 7:14], k[::-1])
+    assert W[10, :7].sum() == 0 and W[10, 14:].sum() == 0
+
+
+def test_smoothing_matrix_right_edge_blend():
+    # tap hitting exactly n-1 becomes a 0.1/0.9 blend of n-2, n-1
+    k = gaussian_kernel(1.0)
+    n = 32
+    W = smoothing_matrix(n, k)
+    # row n-hw-1 ... all boundary rows; check row n-1 center tap:
+    # c = n-1 -> mirrored to n-1-0.1 -> 0.1*src[n-2] + 0.9*src[n-1]
+    hw = len(k) // 2
+    row = np.zeros(n, np.float32)
+    for d in range(-hw, hw + 1):
+        tap = k[d + hw]
+        c = np.float32(n - 1 - d)
+        if c >= n - 1:
+            c = np.float32(2 * (n - 1) - c - np.float32(0.1))
+        lo = int(c)
+        frac = np.float32(c - lo)
+        row[lo] += tap * (1 - frac)
+        row[min(lo + 1, n - 1)] += tap * frac
+    np.testing.assert_allclose(W[n - 1], row, atol=1e-7)
