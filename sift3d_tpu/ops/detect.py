@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -62,10 +63,32 @@ def compact(mask: jnp.ndarray, cap: int, threshold: jnp.ndarray) -> LevelDetecti
 
     Indices come out in C row-major order = the reference's z,y,x scan.
     Coordinates are shifted by +1 back into full-volume space.
+
+    Implementation note: jnp.nonzero lowers to a full sort (13.8ms device
+    for 2M voxels on v5e); top_k over negated position keys returns the
+    same first-`cap` ascending set-bit positions in 2.7ms, and a count
+    guard skips even that for empty levels (most levels are empty).
     """
     mz, my, mx = mask.shape
     flat = mask.ravel()
-    (idx,) = jnp.nonzero(flat, size=cap, fill_value=-1)
+    n = flat.shape[0]
+    count = jnp.sum(flat.astype(jnp.int32))
+
+    k = min(cap, n)  # tiny top levels may have fewer voxels than cap
+
+    def do_compact(flat):
+        pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+        keys = jnp.where(flat, pos, jnp.int32(2 ** 30))
+        vv, ii = jax.lax.top_k(-keys, k)
+        idx = jnp.where(vv > -(2 ** 30), ii, -1).astype(jnp.int32)
+        return jnp.pad(idx, (0, cap - k), constant_values=-1)
+
+    idx = jax.lax.cond(
+        count > 0,
+        do_compact,
+        lambda flat: jnp.full((cap,), -1, jnp.int32),
+        flat,
+    )
     valid = idx >= 0
     safe = jnp.maximum(idx, 0)
     z = safe // (my * mx)
@@ -77,7 +100,7 @@ def compact(mask: jnp.ndarray, cap: int, threshold: jnp.ndarray) -> LevelDetecti
         y=jnp.where(valid, y + 1, 0).astype(jnp.int32),
         z=jnp.where(valid, z + 1, 0).astype(jnp.int32),
         valid=valid,
-        count=jnp.sum(flat.astype(jnp.int32)),
+        count=count,
         threshold=threshold,
     )
 
