@@ -175,6 +175,7 @@ class SIFT3D:
         self.cfg = cfg or SiftConfig()
         self._pyramid_jit = {}
         self._level_jits = {}
+        self._merge_jit = jax.jit(merge_sets)
 
     def plan(self, shape: tuple[int, int, int]) -> PyramidPlan:
         return make_plan(self.cfg, shape)
@@ -209,33 +210,65 @@ class SIFT3D:
                         gss[o * cfg.gss_levels + i],
                     )
                 )
-        return merge_sets(sets)
+        return self._merge_jit(sets)
+
+
+def compact_valid(kps: KeypointSet) -> KeypointSet:
+    """Gather valid keypoints into a dense power-of-2-bucketed KeypointSet.
+
+    The extraction capacity arrays are mostly empty lanes; matching cost is
+    quadratic in row count, so the matcher operates on the compacted sets.
+    Bucketing the dense size to the next power of two keeps recompilation
+    bounded. Relative order of valid keypoints is preserved (parity with
+    the reference's `filter` vector ordering).
+    """
+    valid = np.asarray(jax.device_get(kps.valid))
+    n = max(int(valid.sum()), 1)
+    bucket = 1 << (n - 1).bit_length()
+    idx = np.nonzero(valid)[0]
+    idx_pad = np.concatenate(
+        [idx, np.zeros(bucket - len(idx), dtype=idx.dtype)]
+    ).astype(np.int32)
+    take = jnp.asarray(idx_pad)
+    mask = jnp.asarray(np.arange(bucket) < len(idx))
+    return KeypointSet(
+        xyz=kps.xyz[take],
+        rxyz=kps.rxyz[take],
+        octave=kps.octave[take],
+        level=kps.level[take],
+        scale=kps.scale[take],
+        rotation=kps.rotation[take],
+        desc=jnp.where(mask[:, None], kps.desc[take], 0.0),
+        status=jnp.where(mask, kps.status[take], 0),
+        valid=mask,
+        counts=kps.counts,
+    )
+
+
+def _match(ref: KeypointSet, tar: KeypointSet, threshold, mode):
+    ref_c = compact_valid(ref)
+    tar_c = compact_valid(tar)
+    res = match_descriptors(
+        ref_c.desc, tar_c.desc, ref_c.valid, tar_c.valid, threshold, mode=mode
+    )
+    return match_coords(ref_c.rxyz, tar_c.rxyz, res)
 
 
 def enhanced_match(ref: KeypointSet, tar: KeypointSet, threshold: float = 0.85):
     """muBruteMatcher::enhancedMatch equivalent (Src/cMatcher.cc:226-228).
 
-    Returns (ref_coords, tar_coords, valid): fixed-size (K, 3) arrays;
+    Returns (ref_coords, tar_coords, valid): dense-bucketed (K, 3) arrays;
     compact with the mask for a dense pair list."""
-    res = match_descriptors(
-        ref.desc, tar.desc, ref.valid, tar.valid, threshold, mode=ENHANCED
-    )
-    return match_coords(ref.rxyz, tar.rxyz, res)
+    return _match(ref, tar, threshold, ENHANCED)
 
 
 def inject_match(ref: KeypointSet, tar: KeypointSet, threshold: float = 0.85):
     from .ops.match import INJECT
 
-    res = match_descriptors(
-        ref.desc, tar.desc, ref.valid, tar.valid, threshold, mode=INJECT
-    )
-    return match_coords(ref.rxyz, tar.rxyz, res)
+    return _match(ref, tar, threshold, INJECT)
 
 
 def biject_match(ref: KeypointSet, tar: KeypointSet, threshold: float = 0.85):
     from .ops.match import BIJECT
 
-    res = match_descriptors(
-        ref.desc, tar.desc, ref.valid, tar.valid, threshold, mode=BIJECT
-    )
-    return match_coords(ref.rxyz, tar.rxyz, res)
+    return _match(ref, tar, threshold, BIJECT)
