@@ -41,10 +41,17 @@ def warped_torus(
     shape: tuple[int, int, int] = (64, 64, 64),
     shift: tuple[float, float, float] = (1.5, -2.0, 1.0),
     seed: int = 1,
+    noise: float = 0.02,
 ) -> np.ndarray:
-    """Rigidly shifted torus (trilinear resample) as the 'deformed' target."""
+    """Rigidly shifted torus (trilinear resample) as the 'deformed' target.
+
+    The torus is textured with the same noise field as torus_volume(seed=0,
+    noise=...) *before* warping, so ref/tar keypoints genuinely correspond —
+    a noise-free torus is rotationally ambiguous and the orientation corner
+    filter (correctly) rejects nearly everything on it.
+    """
     nz, ny, nx = shape
-    base = torus_volume(shape)
+    base = torus_volume(shape, noise=noise, seed=0)
     sz, sy, sx = shift
     z = np.clip(np.arange(nz, dtype=np.float32) - sz, 0, nz - 1)
     y = np.clip(np.arange(ny, dtype=np.float32) - sy, 0, ny - 1)
