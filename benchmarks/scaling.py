@@ -1,0 +1,85 @@
+"""Scaling-efficiency harness: volumes/s at 1 chip vs N devices.
+
+BASELINE asks for volumes/s scaling efficiency at 1 chip, 1 host, N hosts.
+This harness measures the sharded extract+match step over meshes of
+increasing size using whatever devices the runtime exposes — real TPU chips
+when available, or the virtual CPU mesh (functional numbers only; set
+XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu).
+
+Usage: python benchmarks/scaling.py [--size 128] [--runs 3] [--max-devices 8]
+Prints one JSON line per mesh size with volumes/s and efficiency vs 1 device.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--max-devices", type=int, default=None)
+    ap.add_argument("--kp-cap", type=int, default=2048)
+    args = ap.parse_args()
+
+    import jax
+
+    from sift3d_tpu.config import SiftConfig
+    from sift3d_tpu.oracle import fixtures
+    from sift3d_tpu.parallel import mesh as M
+    from sift3d_tpu.parallel.sharded import make_sharded_step
+
+    ndev_avail = len(jax.devices())
+    limit = args.max_devices or ndev_avail
+    shape = (args.size,) * 3
+    cfg = SiftConfig(max_kp_per_level=args.kp_cap)
+
+    ref = fixtures.torus_volume(shape, noise=0.02, seed=0)
+    tar = fixtures.warped_torus(shape)
+
+    sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= min(limit, ndev_avail)]
+    base_rate = None
+    for n in sizes:
+        mesh = M.make_mesh(n)
+        step, sharding = make_sharded_step(mesh, shape, cfg)
+        rv = jax.device_put(ref, sharding)
+        tv = jax.device_put(tar, sharding)
+        out = step(rv, tv)
+        jax.block_until_ready(out)  # compile
+        times = []
+        for _ in range(args.runs):
+            # fresh input buffers each run: the axon dev tunnel caches
+            # executions on identical (executable, buffers) pairs, which
+            # would fake the timing; transfer happens outside the timer.
+            rv = jax.device_put(ref, sharding)
+            tv = jax.device_put(tar, sharding)
+            jax.block_until_ready((rv, tv))
+            t0 = time.time()
+            out = step(rv, tv)
+            jax.block_until_ready(out)
+            times.append(time.time() - t0)
+        dt = float(np.median(times))
+        rate = 2.0 / dt  # two volumes per step
+        if base_rate is None:
+            base_rate = rate
+        eff = rate / (base_rate * n)
+        print(json.dumps({
+            "devices": n,
+            "volumes_per_s": round(rate, 3),
+            "step_s": round(dt, 4),
+            "efficiency_vs_1dev": round(eff, 3),
+            "matches": int(np.asarray(out["match_valid"]).sum()),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -231,6 +231,11 @@ def compact_valid(kps: KeypointSet) -> KeypointSet:
     ).astype(np.int32)
     take = jnp.asarray(idx_pad)
     mask = jnp.asarray(np.arange(bucket) < len(idx))
+    return _compact_gather(kps, take, mask)
+
+
+@jax.jit
+def _compact_gather(kps: KeypointSet, take, mask) -> KeypointSet:
     return KeypointSet(
         xyz=kps.xyz[take],
         rxyz=kps.rxyz[take],
