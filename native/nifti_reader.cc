@@ -16,9 +16,11 @@
 
 #include <zlib.h>
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -246,9 +248,151 @@ PyObject *read_nii(PyObject * /*self*/, PyObject *args) {
   return out;
 }
 
+// Decode one file into a malloc'd float buffer (no Python API; thread-safe).
+bool decode_file(const std::string &path, std::vector<float> *out,
+                 int64_t *nx, int64_t *ny, int64_t *nz, std::string *err) {
+  std::vector<unsigned char> raw;
+  FILE *f = fopen(path.c_str(), "rb");
+  if (!f) {
+    *err = "cannot open " + path;
+    return false;
+  }
+  fseek(f, 0, SEEK_END);
+  long sz = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  raw.resize(static_cast<size_t>(sz));
+  size_t rd = fread(raw.data(), 1, raw.size(), f);
+  fclose(f);
+  if (rd != raw.size()) {
+    *err = "short read " + path;
+    return false;
+  }
+  std::vector<unsigned char> inflated;
+  const std::vector<unsigned char> *data = &raw;
+  if (raw.size() >= 2 && raw[0] == 0x1f && raw[1] == 0x8b) {
+    if (!gunzip(raw, &inflated)) {
+      *err = "gzip decode failed " + path;
+      return false;
+    }
+    data = &inflated;
+  }
+  Header h;
+  if (!parse_header(data->data(), data->size(), &h, err)) return false;
+  int64_t count = h.nx * h.ny * h.nz;
+  int itemsize;
+  switch (h.datatype) {
+    case 2: case 256: itemsize = 1; break;
+    case 4: case 512: itemsize = 2; break;
+    case 8: case 768: case 16: itemsize = 4; break;
+    case 64: case 1024: case 1280: itemsize = 8; break;
+    default: *err = "unsupported datatype"; return false;
+  }
+  if (h.vox_offset < 0 ||
+      static_cast<int64_t>(data->size()) <
+          h.vox_offset + count * static_cast<int64_t>(itemsize)) {
+    *err = "truncated payload " + path;
+    return false;
+  }
+  out->resize(static_cast<size_t>(count));
+  const unsigned char *src = data->data() + h.vox_offset;
+  float slope = static_cast<float>(h.scl_slope);
+  float inter = static_cast<float>(h.scl_inter);
+  bool scale = !(slope == 0.0f || (slope == 1.0f && inter == 0.0f));
+  float *dst = out->data();
+  switch (h.datatype) {
+    case 2: convert<uint8_t>(src, dst, count, h.swap, slope, inter, scale); break;
+    case 256: convert<int8_t>(src, dst, count, h.swap, slope, inter, scale); break;
+    case 4: convert<int16_t>(src, dst, count, h.swap, slope, inter, scale); break;
+    case 512: convert<uint16_t>(src, dst, count, h.swap, slope, inter, scale); break;
+    case 8: convert<int32_t>(src, dst, count, h.swap, slope, inter, scale); break;
+    case 768: convert<uint32_t>(src, dst, count, h.swap, slope, inter, scale); break;
+    case 16: convert<float>(src, dst, count, h.swap, slope, inter, scale); break;
+    case 64: convert<double>(src, dst, count, h.swap, slope, inter, scale); break;
+    case 1024: convert<int64_t>(src, dst, count, h.swap, slope, inter, scale); break;
+    case 1280: convert<uint64_t>(src, dst, count, h.swap, slope, inter, scale); break;
+  }
+  *nx = h.nx;
+  *ny = h.ny;
+  *nz = h.nz;
+  return true;
+}
+
+// read_nii_batch(paths, nthreads) -> list[(float32_bytes, nx, ny, nz)]
+// Parallel gz-inflate + dtype-convert across a thread pool (GIL released).
+PyObject *read_nii_batch(PyObject * /*self*/, PyObject *args) {
+  PyObject *paths_obj = nullptr;
+  int nthreads = 4;
+  if (!PyArg_ParseTuple(args, "O|i", &paths_obj, &nthreads)) return nullptr;
+  PyObject *seq = PySequence_Fast(paths_obj, "paths must be a sequence");
+  if (!seq) return nullptr;
+  Py_ssize_t n = PySequence_Fast_GET_SIZE(seq);
+  std::vector<std::string> paths;
+  paths.reserve(n);
+  for (Py_ssize_t i = 0; i < n; ++i) {
+    PyObject *item = PySequence_Fast_GET_ITEM(seq, i);
+    const char *s = PyUnicode_AsUTF8(item);
+    if (!s) {
+      Py_DECREF(seq);
+      return nullptr;
+    }
+    paths.emplace_back(s);
+  }
+  Py_DECREF(seq);
+
+  struct Result {
+    std::vector<float> data;
+    int64_t nx = 0, ny = 0, nz = 0;
+    bool ok = false;
+    std::string err;
+  };
+  std::vector<Result> results(paths.size());
+  if (nthreads < 1) nthreads = 1;
+
+  Py_BEGIN_ALLOW_THREADS {
+    std::atomic<size_t> next(0);
+    auto worker = [&]() {
+      for (;;) {
+        size_t i = next.fetch_add(1);
+        if (i >= paths.size()) break;
+        Result &r = results[i];
+        r.ok = decode_file(paths[i], &r.data, &r.nx, &r.ny, &r.nz, &r.err);
+      }
+    };
+    std::vector<std::thread> pool;
+    int tcount = std::min<int>(nthreads, static_cast<int>(paths.size()));
+    for (int t = 0; t < tcount; ++t) pool.emplace_back(worker);
+    for (auto &th : pool) th.join();
+  }
+  Py_END_ALLOW_THREADS
+
+  PyObject *out = PyList_New(static_cast<Py_ssize_t>(results.size()));
+  if (!out) return nullptr;
+  for (size_t i = 0; i < results.size(); ++i) {
+    Result &r = results[i];
+    if (!r.ok) {
+      Py_DECREF(out);
+      PyErr_SetString(PyExc_ValueError, r.err.c_str());
+      return nullptr;
+    }
+    PyObject *bytes = PyBytes_FromStringAndSize(
+        reinterpret_cast<const char *>(r.data.data()),
+        static_cast<Py_ssize_t>(r.data.size() * sizeof(float)));
+    if (!bytes) {
+      Py_DECREF(out);
+      return nullptr;
+    }
+    PyObject *tup = Py_BuildValue("(NLLL)", bytes, (long long)r.nx,
+                                  (long long)r.ny, (long long)r.nz);
+    PyList_SET_ITEM(out, static_cast<Py_ssize_t>(i), tup);
+  }
+  return out;
+}
+
 PyMethodDef methods[] = {
     {"read_nii", read_nii, METH_VARARGS,
      "read_nii(path) -> (float32_bytes, nx, ny, nz)"},
+    {"read_nii_batch", read_nii_batch, METH_VARARGS,
+     "read_nii_batch(paths, nthreads=4) -> list[(float32_bytes, nx, ny, nz)]"},
     {nullptr, nullptr, 0, nullptr},
 };
 

@@ -26,3 +26,15 @@ def read_nii(path) -> np.ndarray:
         buf, nx, ny, nz = _nifti_native.read_nii(str(path))
         return np.frombuffer(buf, dtype=np.float32).reshape(nz, ny, nx).copy()
     return _py.read_nii(path)
+
+
+def read_nii_batch(paths, nthreads: int = 4) -> list[np.ndarray]:
+    """Read many volumes with a native thread pool (parallel gz inflate +
+    dtype conversion, GIL released); falls back to sequential reads."""
+    if _nifti_native is not None:
+        out = _nifti_native.read_nii_batch([str(p) for p in paths], nthreads)
+        return [
+            np.frombuffer(buf, dtype=np.float32).reshape(nz, ny, nx).copy()
+            for buf, nx, ny, nz in out
+        ]
+    return [read_nii(p) for p in paths]

@@ -18,6 +18,10 @@ import jax
 import jax.numpy as jnp
 
 
+def _use_pallas_compact() -> bool:
+    return jax.default_backend() == "tpu"
+
+
 class LevelDetections(NamedTuple):
     """Fixed-capacity keypoint set for one (octave, level)."""
 
@@ -77,6 +81,13 @@ def compact(mask: jnp.ndarray, cap: int, threshold: jnp.ndarray) -> LevelDetecti
     k = min(cap, n)  # tiny top levels may have fewer voxels than cap
 
     def do_compact(flat):
+        if _use_pallas_compact():
+            from .pallas.compact_kernel import CTILE, compact_mask_pallas
+
+            npad = -(-n // CTILE) * CTILE
+            raw = compact_mask_pallas(jnp.pad(flat, (0, npad - n)), cap)
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)[:, 0]
+            return jnp.where(lanes < count, raw, -1)
         pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
         keys = jnp.where(flat, pos, jnp.int32(2 ** 30))
         vv, ii = jax.lax.top_k(-keys, k)

@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ...config import BARY_EPS
 from ...geometry import MESH_CONST, TRI_IDX
 
-SUB = 8       # sublanes per tile
+SUB = 32      # sublane rows per tile (amortises per-grid-step overhead)
 LANE = 512    # lanes per tile
 TILE = SUB * LANE
 

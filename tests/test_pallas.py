@@ -1,0 +1,63 @@
+"""Pallas kernel unit tests (interpret mode on CPU)."""
+
+import math
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sift3d_tpu.config import DESC_RAD_FCTR, DESC_SIG_FCTR, SiftConfig
+from sift3d_tpu.ops import descriptor as DE
+from sift3d_tpu.ops import windows as W
+from sift3d_tpu.ops.pallas.compact_kernel import CTILE, compact_mask_pallas
+from sift3d_tpu.pyramid import make_plan
+
+
+@pytest.mark.parametrize("density,hits_cap", [(0.0005, 256), (0.0, 64), (0.2, 128)])
+def test_compact_kernel_matches_nonzero(density, hits_cap):
+    rng = np.random.default_rng(1)
+    n = CTILE * 3
+    m = rng.random(n) < density
+    got = np.asarray(compact_mask_pallas(jnp.asarray(m), hits_cap, interpret=True))
+    count = int(m.sum())
+    want = np.nonzero(m)[0][:hits_cap]
+    k = min(count, hits_cap)
+    np.testing.assert_array_equal(got[:k], want[:k])
+
+
+def test_descriptor_kernel_matches_xla_path():
+    cfg = SiftConfig()
+    plan = make_plan(cfg, (32, 32, 32))
+    meta = plan.gss_meta(0, 1)
+    scale32 = np.float32(meta.scale)
+    sigma = float(np.float32(scale32 * np.float32(DESC_SIG_FCTR)))
+    win_radius = float(np.float32(np.float32(DESC_RAD_FCTR) * np.float32(sigma)))
+    desc_hw = float(np.float32(win_radius / math.sqrt(2.0)))
+    desc_bin_fctr = float(np.float32(np.float32(4.0) / np.float32(2.0 * desc_hw)))
+    r_vox = W.radius_voxels(win_radius, meta.unit)
+    wshape = tuple(W.window_size(r_vox, n + 2) for n in meta.shape)
+    consts = (r_vox, win_radius, sigma, desc_hw, desc_bin_fctr, wshape)
+
+    rng = np.random.default_rng(0)
+    B = 4
+    gss_pad = jnp.asarray(rng.standard_normal((34, 34, 34)).astype(np.float32))
+    bx = jnp.asarray(rng.integers(5, 27, B).astype(np.int32))
+    by = jnp.asarray(rng.integers(5, 27, B).astype(np.int32))
+    bz = jnp.asarray(rng.integers(5, 27, B).astype(np.int32))
+    rots = []
+    for _ in range(B):
+        q, _ = np.linalg.qr(rng.standard_normal((3, 3)))
+        if np.linalg.det(q) < 0:
+            q[:, 0] *= -1
+        rots.append(q.astype(np.float32))
+    rot = jnp.asarray(np.stack(rots))
+    ok = jnp.asarray(np.array([True, True, True, False]))
+
+    a = np.asarray(DE._desc_one_block(gss_pad, bx, by, bz, rot, ok, meta, consts))
+    b = np.asarray(
+        DE._desc_one_block_pallas(gss_pad, bx, by, bz, rot, ok, meta, consts)
+    )
+    assert np.abs(a - b).max() < 1e-4
+    assert np.abs(b[3]).max() == 0.0  # masked keypoint stays zero
