@@ -164,7 +164,12 @@ def assign_orientation(
     mg_sq = jnp.sum(mg * mg, axis=-1)
     weak = mg_sq < jnp.float32(ORI_GRAD_THRESH)
 
-    vals, vecs = jnp.linalg.eigh(st)  # ascending eigenvalues, unit columns
+    # Batched closed-form symmetric eigensolve (ascending, unit columns) —
+    # replaces the reference's per-keypoint general EigenSolver and XLA's
+    # QR-iteration eigh custom call (ops/eigen3.py).
+    from .eigen3 import eigh3x3
+
+    vals, vecs = eigh3x3(st)
 
     ratio_bad = (jnp.abs(vals[:, 0] / vals[:, 1]) > cfg.max_eig_thres) | (
         jnp.abs(vals[:, 1] / vals[:, 2]) > cfg.max_eig_thres
