@@ -33,25 +33,28 @@ def torus_volume(
     vol = np.exp(-d2 / (2.0 * (minor / 1.5) ** 2)).astype(np.float32)
     if noise > 0:
         rng = np.random.default_rng(seed)
-        vol = vol + noise * rng.standard_normal(vol.shape).astype(np.float32)
+        tex = rng.standard_normal(vol.shape).astype(np.float32)
+        # Band-limit the texture (box-smooth twice): white noise would be
+        # destroyed unevenly by trilinear resampling in warped variants,
+        # making keypoint counts depend on the fractional shift.
+        for _ in range(2):
+            for ax in range(3):
+                tex = (
+                    tex + np.roll(tex, 1, axis=ax) + np.roll(tex, -1, axis=ax)
+                ) / 3.0
+        tex *= 3.0  # restore amplitude lost to smoothing
+        vol = vol + noise * tex
     return vol.astype(np.float32)
 
 
-def warped_torus(
-    shape: tuple[int, int, int] = (64, 64, 64),
-    shift: tuple[float, float, float] = (1.5, -2.0, 1.0),
-    seed: int = 1,
-    noise: float = 0.02,
+def warped_volume(
+    base: np.ndarray, shift: tuple[float, float, float]
 ) -> np.ndarray:
-    """Rigidly shifted torus (trilinear resample) as the 'deformed' target.
+    """Rigidly shifted copy of `base` via trilinear resampling (edge clamp).
 
-    The torus is textured with the same noise field as torus_volume(seed=0,
-    noise=...) *before* warping, so ref/tar keypoints genuinely correspond —
-    a noise-free torus is rotationally ambiguous and the orientation corner
-    filter (correctly) rejects nearly everything on it.
+    shift is (sz, sy, sx): a feature at voxel p in `base` appears at p+shift.
     """
-    nz, ny, nx = shape
-    base = torus_volume(shape, noise=noise, seed=0)
+    nz, ny, nx = base.shape
     sz, sy, sx = shift
     z = np.clip(np.arange(nz, dtype=np.float32) - sz, 0, nz - 1)
     y = np.clip(np.arange(ny, dtype=np.float32) - sy, 0, ny - 1)
@@ -77,6 +80,22 @@ def warped_torus(
         + g(z1, y1, x1) * fz * fy * fx
     )
     return out.astype(np.float32)
+
+
+def warped_torus(
+    shape: tuple[int, int, int] = (64, 64, 64),
+    shift: tuple[float, float, float] = (1.5, -2.0, 1.0),
+    seed: int = 1,
+    noise: float = 0.02,
+) -> np.ndarray:
+    """Rigidly shifted textured torus as the 'deformed' benchmark target.
+
+    Textured with the same noise field as torus_volume(seed=0) *before*
+    warping, so ref/tar keypoints genuinely correspond — a noise-free torus
+    is rotationally ambiguous and the orientation corner filter (correctly)
+    rejects nearly everything on it.
+    """
+    return warped_volume(torus_volume(shape, noise=noise, seed=0), shift)
 
 
 def smooth_random_volume(

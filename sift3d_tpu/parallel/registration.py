@@ -253,7 +253,7 @@ def refine_pose_graph(
     edges_j: jnp.ndarray,
     measurements: Pose,
     iters: int = 10,
-    damping: float = 1e-6,
+    damping: float = 1e-4,
 ) -> Pose:
     """Gauss-Newton refinement with pose 0 anchored (gauge fixing)."""
     n = poses.R.shape[0]
