@@ -1,0 +1,103 @@
+"""Large-keypoint-set matcher benchmark (BASELINE config 3).
+
+bijectMatch + enhancedMatch over >50k-keypoint sets with a ratio-threshold
+sweep 0.7-0.9, using the row-chunked top-2 matmul matcher (the score matrix
+never materialises in full). Prints one JSON line per configuration.
+
+Usage: python benchmarks/match_scale.py [--n 50000] [--m 50000] [--runs 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def synth_descriptors(n, seed, correlated_with=None, frac=0.3, rng=None):
+    """Unit-norm non-negative sparse descriptors; optionally make a fraction
+    near-duplicates of another set so the ratio test has real work to do."""
+    rng = rng or np.random.default_rng(seed)
+    d = rng.random((n, 768), dtype=np.float32)
+    d[d < 0.85] = 0.0
+    if correlated_with is not None:
+        k = int(frac * min(n, len(correlated_with)))
+        idx = rng.choice(min(n, len(correlated_with)), k, replace=False)
+        d[idx] = correlated_with[idx] + 0.05 * rng.random((k, 768), dtype=np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True) + 1e-12
+    return d
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=50000)
+    ap.add_argument("--m", type=int, default=50000)
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--row-chunk", type=int, default=2048)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from sift3d_tpu.ops import match as M
+
+    rng = np.random.default_rng(0)
+    ref = synth_descriptors(args.n, 0, rng=rng)
+    tar = synth_descriptors(args.m, 1, correlated_with=ref, rng=rng)
+    ref_d = jax.device_put(ref)
+    tar_d = jax.device_put(tar)
+    rv = jnp.ones(args.n, bool)
+    tv = jnp.ones(args.m, bool)
+
+    for mode, name in [(M.BIJECT, "biject"), (M.ENHANCED, "enhanced")]:
+        fn = jax.jit(
+            lambda r, t: M.match_descriptors(
+                r, t, rv, tv, 0.85, mode=mode, row_chunk=args.row_chunk
+            ),
+            static_argnames=(),
+        )
+        out = jax.block_until_ready(fn(ref_d, tar_d))
+        times = []
+        for _ in range(args.runs):
+            r2 = jax.device_put(ref)  # fresh buffers (axon caching)
+            t2 = jax.device_put(tar)
+            jax.block_until_ready((r2, t2))
+            t0 = time.time()
+            out = jax.block_until_ready(fn(r2, t2))
+            times.append(time.time() - t0)
+        dt = float(np.median(times))
+        gflop = 2 * args.n * args.m * 768 * 2 / 1e9  # fwd + rev
+        print(json.dumps({
+            "mode": name, "n": args.n, "m": args.m,
+            "seconds": round(dt, 4),
+            "matches": int(np.asarray(out.valid).sum()),
+            "tflops": round(gflop / dt / 1e3, 2),
+        }), flush=True)
+
+    # threshold sweep reusing one top-2 pass per direction
+    thresholds = jnp.asarray(np.linspace(0.7, 0.9, 9), jnp.float32)
+    sweep = jax.jit(
+        lambda r, t: M.threshold_sweep(r, t, rv, tv, thresholds, mode=M.ENHANCED)
+    )
+    masks = jax.block_until_ready(sweep(ref_d, tar_d))
+    r2 = jax.device_put(ref); t2 = jax.device_put(tar)
+    jax.block_until_ready((r2, t2))
+    t0 = time.time()
+    masks = jax.block_until_ready(sweep(r2, t2))
+    dt = time.time() - t0
+    counts = np.asarray(masks).sum(axis=1).tolist()
+    print(json.dumps({
+        "mode": "enhanced_sweep_0.7-0.9", "n": args.n, "m": args.m,
+        "seconds": round(dt, 4),
+        "matches_per_threshold": counts,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

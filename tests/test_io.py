@@ -66,3 +66,26 @@ def test_native_reader_parity(tmp_path):
         p = tmp_path / f"v{suffix}"
         nifti.write_nii(p, vol)
         np.testing.assert_array_equal(native.read_nii(p), nifti.read_nii(p))
+
+
+def test_keypoint_checkpoint_roundtrip(tmp_path):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from sift3d_tpu import SIFT3D, SiftConfig, enhanced_match
+    from sift3d_tpu.io import keypoints as kio
+    from sift3d_tpu.oracle import fixtures
+
+    vol = fixtures.smooth_random_volume((32, 32, 32), seed=7, smooth=2)
+    sift = SIFT3D(SiftConfig(max_kp_per_level=256))
+    kps = sift.extract(vol)
+
+    p = tmp_path / "kps.npz"
+    kio.save_keypoints(p, kps)
+    back = kio.load_keypoints(p)
+    assert back.valid.all()
+    assert back.desc.shape[0] == int(kps.num_valid)
+
+    # matching a checkpointed set against the live set reproduces self-matches
+    rc, tc, valid = enhanced_match(back, kps, 0.9)
+    assert int(np.asarray(valid).sum()) > 0
