@@ -40,10 +40,11 @@ def _window_stats(
     win_radius_phys: float,
     sigma_phys: float,
     wshape: tuple[int, int, int],
-    kp_block: int,
+    cfg: SiftConfig,
 ):
     """Structure tensor (cap, 6) + mean gradient (cap, 3), chunked over
     keypoints so only kp_block windows are live at once."""
+    kp_block = cfg.kp_block
     nz, ny, nx = meta.shape
     unit = meta.unit
     cap = det.x.shape[0]
@@ -101,6 +102,45 @@ def _window_stats(
         mg = jnp.stack([rsum(gx * w), rsum(gy * w), rsum(gz * w)], axis=-1)
         return st, mg
 
+    def block_pallas(args):
+        """Pallas-kernel variant of `block` (ops/pallas/orientation_kernel)."""
+        from .descriptor import _core_offset_maps
+        from .pallas.orientation_kernel import TILE, orientation_stats_pallas
+
+        bx, by, bz = args
+        B = bx.shape[0]
+        Wz, Wy, Wx = wshape
+        C = (Wz - 2) * (Wy - 2) * (Wx - 2)
+        Cp = -(-C // TILE) * TILE
+
+        wins, starts = W.gather_windows(gss_pad, bx, by, bz, wshape)
+        gx, gy, gz = W.central_gradients(wins, unit)
+        padc = ((0, 0), (0, Cp - C))
+        gx = jnp.pad(gx.reshape(B, C), padc)
+        gy = jnp.pad(gy.reshape(B, C), padc)
+        gz = jnp.pad(gz.reshape(B, C), padc)
+        jzm, jym, jxm = (jnp.asarray(m) for m in _core_offset_maps(wshape, Cp))
+
+        xs_lo, xs_hi = W.box_bounds(bx, r_vox, nx)
+        ys_lo, ys_hi = W.box_bounds(by, r_vox, ny)
+        zs_lo, zs_hi = W.box_bounds(bz, r_vox, nz)
+        sz, sy, sx = starts
+        kpi = jnp.stack(
+            [sz, sy, sx, bx, by, bz, xs_lo, xs_hi, ys_lo, ys_hi, zs_lo, zs_hi],
+            axis=1,
+        ).astype(jnp.int32)
+        kpok = jnp.ones((B,), jnp.int32)
+        consts = (float(unit), float(win_radius_phys), float(sigma_phys))
+        interp = jax.default_backend() != "tpu"
+        return orientation_stats_pallas(
+            gx, gy, gz, jzm, jym, jxm, kpi, kpok, consts, interpret=interp
+        )
+
+    from .descriptor import _use_pallas
+
+    if _use_pallas(cfg):
+        block = block_pallas
+
     # Iterate exactly ceil(count / kp_block) blocks (detections are a dense
     # prefix after compaction); a while_loop runs only the needed blocks so
     # empty levels cost nothing.
@@ -156,7 +196,7 @@ def assign_orientation(
     )  # (Wz, Wy, Wx) against padded dims
 
     st_packed, mg = _window_stats(
-        gss_pad, det, meta, r_vox, win_radius, sigma, wsz, cfg.kp_block
+        gss_pad, det, meta, r_vox, win_radius, sigma, wsz, cfg
     )
     st = _sym_from_packed(st_packed)
 

@@ -61,3 +61,34 @@ def test_descriptor_kernel_matches_xla_path():
     )
     assert np.abs(a - b).max() < 1e-4
     assert np.abs(b[3]).max() == 0.0  # masked keypoint stays zero
+
+
+def test_orientation_kernel_matches_xla_path():
+    from sift3d_tpu.ops import detect as D
+    from sift3d_tpu.ops import orientation as O
+
+    cfg_x = SiftConfig(max_kp_per_level=64, kp_block=8, use_pallas=False)
+    cfg_p = SiftConfig(max_kp_per_level=64, kp_block=8, use_pallas=True)
+    plan = make_plan(cfg_x, (32, 32, 32))
+    meta = plan.gss_meta(0, 1)
+
+    rng = np.random.default_rng(2)
+    gss_pad = jnp.asarray(rng.standard_normal((34, 34, 34)).astype(np.float32))
+    n = 20
+    det = D.LevelDetections(
+        x=jnp.asarray(np.pad(rng.integers(2, 30, n), (0, 44)).astype(np.int32)),
+        y=jnp.asarray(np.pad(rng.integers(2, 30, n), (0, 44)).astype(np.int32)),
+        z=jnp.asarray(np.pad(rng.integers(2, 30, n), (0, 44)).astype(np.int32)),
+        valid=jnp.asarray(np.arange(64) < n),
+        count=jnp.int32(n),
+        threshold=jnp.float32(0.1),
+    )
+    a = O.assign_orientation(gss_pad, det, meta, cfg_x)
+    b = O.assign_orientation(gss_pad, det, meta, cfg_p)
+    np.testing.assert_allclose(
+        np.asarray(a.str_tensor), np.asarray(b.str_tensor), atol=1e-5, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.mean_grad), np.asarray(b.mean_grad), atol=1e-6, rtol=1e-4
+    )
+    np.testing.assert_array_equal(np.asarray(a.status), np.asarray(b.status))
