@@ -18,7 +18,9 @@ import jax
 import jax.numpy as jnp
 
 
-def _use_pallas_compact() -> bool:
+def _use_pallas_compact(flag=None) -> bool:
+    if flag is not None:
+        return flag
     return jax.default_backend() == "tpu"
 
 
@@ -62,7 +64,8 @@ def extrema_mask(
     return is_min | is_max, thres
 
 
-def compact(mask: jnp.ndarray, cap: int, threshold: jnp.ndarray) -> LevelDetections:
+def compact(mask: jnp.ndarray, cap: int, threshold: jnp.ndarray,
+            use_pallas=None) -> LevelDetections:
     """Compact a (nz-2, ny-2, nx-2) interior mask into fixed-cap coords.
 
     Indices come out in C row-major order = the reference's z,y,x scan.
@@ -81,7 +84,7 @@ def compact(mask: jnp.ndarray, cap: int, threshold: jnp.ndarray) -> LevelDetecti
     k = min(cap, n)  # tiny top levels may have fewer voxels than cap
 
     def do_compact(flat):
-        if _use_pallas_compact():
+        if _use_pallas_compact(use_pallas):
             from .pallas.compact_kernel import CTILE, compact_mask_pallas
 
             npad = -(-n // CTILE) * CTILE
@@ -122,6 +125,7 @@ def detect_level(
     nxt: jnp.ndarray,
     peak_thresh: float,
     cap: int,
+    use_pallas=None,
 ) -> LevelDetections:
     mask, thres = extrema_mask(prev, cur, nxt, peak_thresh)
-    return compact(mask, cap, thres)
+    return compact(mask, cap, thres, use_pallas)

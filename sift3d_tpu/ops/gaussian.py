@@ -21,6 +21,22 @@ import numpy as np
 from ..pyramid import gaussian_kernel, smoothing_matrix
 
 
+import contextlib
+
+# The GSPMD-sharded path needs the plain-XLA blur: the SPMD partitioner can
+# shard the einsum but not a pallas_call.
+_FORCE_XLA = [False]
+
+
+@contextlib.contextmanager
+def xla_blur():
+    _FORCE_XLA[0] = True
+    try:
+        yield
+    finally:
+        _FORCE_XLA[0] = False
+
+
 @functools.lru_cache(maxsize=None)
 def _smoothing_matrix_cached(n: int, sigma: float) -> np.ndarray:
     return smoothing_matrix(n, gaussian_kernel(sigma))
@@ -40,10 +56,19 @@ def gaussian_blur(vol: jnp.ndarray, sigma: float) -> jnp.ndarray:
     """Separable blur with reference axis order X -> Y -> Z
     (Src/cSIFT3D.cc:608-617). vol: (nz, ny, nx) float32.
 
+    On TPU the tap-based Pallas kernels run (ops/pallas/blur_kernel.py:
+    fused XY pass + Z pass, boundary rows via small MXU products); elsewhere
+    the dense smoothing-matrix einsum path below.
+
     precision=HIGHEST keeps the MXU passes in true float32 — the TPU default
     (bf16 passes) would move keypoints relative to the CPU reference.
     """
     import jax
+
+    if jax.default_backend() == "tpu" and not _FORCE_XLA[0]:
+        from .pallas.blur_kernel import gaussian_blur_pallas
+
+        return gaussian_blur_pallas(vol, float(sigma))
 
     hi = jax.lax.Precision.HIGHEST
     Wz, Wy, Wx = blur_operators(vol.shape, sigma)

@@ -42,9 +42,12 @@ def _constrain(mesh: Mesh, x: jnp.ndarray, min_local: int = 8):
 
 def sharded_extract(vol: jnp.ndarray, plan: PyramidPlan, mesh: Mesh) -> KeypointSet:
     """Extraction with z-block sharding constraints on every pyramid level."""
-    return _extract_impl(
-        vol, plan, constrain=functools.partial(_constrain, mesh)
-    )
+    from ..ops.gaussian import xla_blur
+
+    with xla_blur():
+        return _extract_impl(
+            vol, plan, constrain=functools.partial(_constrain, mesh)
+        )
 
 
 def make_sharded_step(
@@ -56,7 +59,12 @@ def make_sharded_step(
     """jit-compiled full step: extract both volumes (z-block sharded),
     allgather descriptors (GSPMD), match row-parallel. Returns the jitted
     function and the input sharding."""
+    import dataclasses
+
     cfg = cfg or SiftConfig()
+    # Pallas kernels are single-device programs; the GSPMD partitioner can
+    # shard the XLA formulations, so the sharded step forces those.
+    cfg = dataclasses.replace(cfg, use_pallas=False)
     plan = make_plan(cfg, shape)
     vol_sharding = NamedSharding(mesh, P(BLOCK_AXIS, None, None))
 

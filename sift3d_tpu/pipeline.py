@@ -114,7 +114,8 @@ def _level_stage(dog_prev, dog_cur, dog_next, gss_level, *, plan, o, i):
     cap = cfg.max_kp_per_level
     meta = plan.gss_meta(o, i)
 
-    det = D.detect_level(dog_prev, dog_cur, dog_next, cfg.peak_thresh, cap)
+    det = D.detect_level(dog_prev, dog_cur, dog_next, cfg.peak_thresh, cap,
+                         use_pallas=cfg.use_pallas)
     gss_pad = jnp.pad(gss_level, 1)
     ori = O.assign_orientation(gss_pad, det, meta, cfg)
     accepted = det.valid & (ori.status == 1)
