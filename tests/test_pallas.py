@@ -92,3 +92,18 @@ def test_orientation_kernel_matches_xla_path():
         np.asarray(a.mean_grad), np.asarray(b.mean_grad), atol=1e-6, rtol=1e-4
     )
     np.testing.assert_array_equal(np.asarray(a.status), np.asarray(b.status))
+
+
+@pytest.mark.parametrize(
+    "shape,sigma",
+    [((32, 32, 32), 1.2699), ((16, 24, 32), 2.4551), ((48, 40, 56), 0.5387)],
+)
+def test_blur_kernel_matches_xla(shape, sigma):
+    from sift3d_tpu.ops.gaussian import gaussian_blur
+    from sift3d_tpu.ops.pallas.blur_kernel import gaussian_blur_pallas
+
+    rng = np.random.default_rng(4)
+    v = rng.standard_normal(shape).astype(np.float32)
+    a = np.asarray(gaussian_blur(jnp.asarray(v), sigma))
+    b = np.asarray(gaussian_blur_pallas(jnp.asarray(v), sigma, interpret=True))
+    np.testing.assert_allclose(a, b, atol=2e-6)
