@@ -5,11 +5,12 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 - value: steady-state wall-clock seconds for extracting keypoints from both
   volumes of a 256^3 pair and enhanced-matching them on one TPU chip
   (compile excluded; median of N runs).
-- vs_baseline: speedup vs the CPU reference implementation of the same
-  pipeline. The reference C++ build is MSVC/Windows-only (SURVEY.md §6), so
-  the CPU number is measured from this repo's loop-faithful NumPy oracle on
-  a smaller volume and scaled linearly by voxel count (the pipeline is
-  linear in voxels); the measurement is cached in BENCH_CPU_CACHE.json.
+- vs_baseline: speedup vs a multithreaded CPU implementation of the same
+  pipeline. The reference C++ build is MSVC/Windows-only (SURVEY.md §6);
+  the CPU number comes from native/cpu_baseline, an independent OpenMP
+  C++ implementation of identical semantics, run with all host cores
+  (falls back to the single-thread NumPy oracle if not built). Cached in
+  BENCH_CPU_CACHE.json.
 
 Usage: python bench.py [--size 256] [--runs 5] [--skip-cpu]
 """
@@ -27,6 +28,17 @@ import numpy as np
 CACHE = Path(__file__).parent / "BENCH_CPU_CACHE.json"
 
 
+def bench_pair(shape):
+    """The benchmark volume pair: a textured torus and a rigidly shifted
+    copy, both trilinear-resampled."""
+    from sift3d_tpu.oracle import fixtures
+
+    base = fixtures.torus_volume(shape, noise=0.02, seed=0)
+    ref = fixtures.warped_volume(base, (0.31, 0.17, 0.23))
+    tar = fixtures.warped_volume(base, (1.81, -1.83, 1.23))
+    return ref, tar
+
+
 def tpu_time(size: int, runs: int, cfg=None) -> tuple[float, dict]:
     import jax
 
@@ -36,9 +48,12 @@ def tpu_time(size: int, runs: int, cfg=None) -> tuple[float, dict]:
     cfg = cfg or SiftConfig(max_kp_per_level=4096)
     shape = (size, size, size)
     # Volumes resident on device before timing: the benchmark measures
-    # extract+match, not host->device transfer bandwidth.
-    ref = jax.device_put(fixtures.torus_volume(shape, noise=0.02, seed=0))
-    tar = jax.device_put(fixtures.warped_torus(shape, shift=(1.5, -2.0, 1.0)))
+    # extract+match, not host->device transfer bandwidth. Both volumes go
+    # through the same trilinear resampling (mixing a raw volume with a
+    # resampled one would break descriptor matches).
+    ref, tar = bench_pair(shape)
+    ref = jax.device_put(ref)
+    tar = jax.device_put(tar)
 
     sift = SIFT3D(cfg)
 
@@ -81,8 +96,17 @@ def tpu_time(size: int, runs: int, cfg=None) -> tuple[float, dict]:
 
 
 def cpu_oracle_time(size: int) -> float:
-    """CPU oracle wall-clock for one extract+match pair at `size`^3, from
-    cache or measured at a feasible size and scaled by voxel count."""
+    """CPU baseline wall-clock for one extract+match pair at `size`^3.
+
+    Prefers the native OpenMP C++ baseline (native/cpu_baseline, an
+    independent multithreaded implementation of the same pipeline); falls
+    back to the single-thread NumPy oracle measured at a feasible size and
+    scaled by voxel count. Cached in BENCH_CPU_CACHE.json.
+    """
+    import os
+    import subprocess
+    import tempfile
+
     cache = {}
     if CACHE.exists():
         cache = json.loads(CACHE.read_text())
@@ -90,14 +114,36 @@ def cpu_oracle_time(size: int) -> float:
     if key in cache:
         return cache[key]["seconds"]
 
-    measure_size = min(size, 64)
-    mkey = f"measured_{measure_size}"
-    if mkey not in cache:
-        from sift3d_tpu.oracle import cpu_match, cpu_sift, fixtures
+    exe = Path(__file__).parent / "native" / "cpu_baseline"
+    if exe.exists():
+        from sift3d_tpu.io import matrixio
 
-        shape = (measure_size,) * 3
-        ref = fixtures.torus_volume(shape, noise=0.02, seed=0)
-        tar = fixtures.warped_torus(shape, shift=(1.5, -2.0, 1.0))
+        nthreads = os.cpu_count() or 4
+        measure = min(size, 256)
+        mkey = f"native_{measure}_{nthreads}t"
+        if mkey not in cache:
+            ref, tar = bench_pair((measure,) * 3)
+            d = tempfile.mkdtemp()
+            matrixio.write_matrix(f"{d}/ref.mat", ref)
+            matrixio.write_matrix(f"{d}/tar.mat", tar)
+            out = subprocess.run(
+                [str(exe), f"{d}/ref.mat", f"{d}/tar.mat", str(nthreads)],
+                capture_output=True, text=True, check=True,
+            )
+            r = json.loads(out.stdout)
+            cache[mkey] = {"seconds": r["total_s"], "detail": r}
+            CACHE.write_text(json.dumps(cache, indent=1))
+        secs = cache[mkey]["seconds"] * (size / measure) ** 3
+        cache[key] = {"seconds": secs, "scaled_from": mkey}
+        CACHE.write_text(json.dumps(cache, indent=1))
+        return secs
+
+    measure_size = min(size, 64)
+    mkey = f"oracle_{measure_size}"
+    if mkey not in cache:
+        from sift3d_tpu.oracle import cpu_match, cpu_sift
+
+        ref, tar = bench_pair((measure_size,) * 3)
         t0 = time.time()
         rr = cpu_sift.run_sift(ref)
         tt = cpu_sift.run_sift(tar)

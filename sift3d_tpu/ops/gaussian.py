@@ -26,6 +26,7 @@ import contextlib
 # The GSPMD-sharded path needs the plain-XLA blur: the SPMD partitioner can
 # shard the einsum but not a pallas_call.
 _FORCE_XLA = [False]
+USE_PALLAS_BLUR = [False]
 
 
 @contextlib.contextmanager
@@ -65,7 +66,11 @@ def gaussian_blur(vol: jnp.ndarray, sigma: float) -> jnp.ndarray:
     """
     import jax
 
-    if jax.default_backend() == "tpu" and not _FORCE_XLA[0]:
+    # The tap-based Pallas blur is opt-in: it is boundary-exact and
+    # FLOP-lean, but its per-slab transposes make it ~1.6x slower than the
+    # einsum on v5e (1.83ms vs 1.17ms per 256^3 blur); the dense
+    # smoothing-matrix einsum already runs near memory bandwidth.
+    if USE_PALLAS_BLUR[0] and jax.default_backend() == "tpu" and not _FORCE_XLA[0]:
         from .pallas.blur_kernel import gaussian_blur_pallas
 
         return gaussian_blur_pallas(vol, float(sigma))

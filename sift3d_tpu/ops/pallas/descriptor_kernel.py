@@ -3,33 +3,25 @@
 The XLA formulation of the per-voxel descriptor math (ops/descriptor.py)
 materialises ~60 intermediates per window voxel to HBM (measured 552ms
 device time for 412 keypoints at 128^3 level (0,1)); this kernel keeps the
-whole per-voxel chain in VMEM and performs the 768-bin accumulation as an
-in-kernel MXU contraction
+whole per-voxel chain — displacement, masks, Gaussian weight, eigenframe
+rotation, the 20-face Moller-Trumbore first-hit select, barycentric vertex
+weights, trilinear bin weights — in VMEM registers, and performs the
+768-bin accumulation as an in-kernel MXU contraction:
 
-    desc[16, 48] += G(16, LANE) @ H(48, LANE)^T        per sublane row,
+    desc[16, 48] += G(16, LANES) @ H(48, LANES)^T        per sublane row,
 
-with G rows the 16 (x, y) spatial-bin weights and H rows the 48 (z, vertex)
-weights, voxels on lanes.
+where G rows are the 16 (x, y) spatial-bin weights and H rows the 48 (z,
+vertex) weights, voxels on lanes. HBM traffic drops to the three gradient
+component streams plus per-keypoint scalars.
 
-Kernel v2 optimisations over the straightforward port:
-- face selection: for a regular icosahedron the face pierced by a ray is
-  the argmax of dot(gradient, face normal) (face cones are the spherical
-  Voronoi cells of the normals; verified to agree 100% with the reference's
-  first-hit Moller-Trumbore loop, Src/cSIFT3D.cc:1542-1573, over 2e5 random
-  directions). That replaces 20 unrolled ray-triangle tests (~500 VPU
-  ops/voxel) with 20 dot-rows + one constant-table select via a single
-  (16, 20) @ (20, LANE) MXU product, then ONE Moller-Trumbore evaluation.
-- bin-matrix build: G and H come from per-axis weight strips expanded with
-  constant (16,4)/(48,4)/(48,12) one-hot matrices on the MXU instead of
-  dense iota compares on (48, LANE) tensors.
+Numerics match ops/descriptor.py bit-for-bit except where float op order
+differs (covered by the oracle parity tolerance); semantics replicated are
+those of Extract_Descriptor_Imp (reference Src/cSIFT3D.cc:1152-1573) —
+see ops/descriptor.py for the full catalogue of quirks.
 
-Numerics: identical math modulo fp op order and eps-measure face ties
-(validated against the XLA path and the CPU oracle; descriptor parity
-budget is L2 < 1e-3).
-
-Grid: (B keypoints, T voxel tiles); each tile is (SUB, LANE) voxels.
-Per-tile integer coordinate maps are precomputed on host (shared by every
-keypoint of a level) so the kernel does no div/mod.
+Grid: (B keypoints, T voxel tiles); each tile is (8, LANE) voxels. Per-tile
+integer coordinate maps are precomputed on host (shared by every keypoint
+of a level) so the kernel does no div/mod.
 """
 
 from __future__ import annotations
@@ -43,47 +35,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...config import BARY_EPS
-from ...geometry import MESH_CONST, TRI_IDX, TRI_VERTS
+from ...geometry import MESH_CONST, TRI_IDX
 
-SUB = 8       # sublane rows per tile
-LANE = 2048   # lanes per tile (wide rows amortise the per-sublane pass)
+SUB = 32      # sublane rows per tile (amortises per-grid-step overhead)
+LANE = 512    # lanes per tile
 TILE = SUB * LANE
-
-
-def _face_constants():
-    """Stacked per-face constant table C (16, 20): rows
-    [e1(3); e2(3); t(3); q(3); qe2(1); vid(3); pad to 17 even] and the
-    outward unit normals N (20, 3)."""
-    e1 = MESH_CONST["e1"].astype(np.float32)
-    e2 = MESH_CONST["e2"].astype(np.float32)
-    t = MESH_CONST["t"].astype(np.float32)
-    q = MESH_CONST["q"].astype(np.float32)
-    qe2 = np.sum(q * e2, axis=-1, keepdims=True).astype(np.float32)
-    vid = TRI_IDX.astype(np.float32)
-
-    v0, v1, v2 = TRI_VERTS[:, 0], TRI_VERTS[:, 1], TRI_VERTS[:, 2]
-    n = np.cross(v1 - v0, v2 - v0)
-    n /= np.linalg.norm(n, axis=1, keepdims=True)
-    centers = (v0 + v1 + v2) / 3.0
-    n[np.sum(n * centers, axis=1) < 0] *= -1
-
-    C = np.concatenate([e1, e2, t, q, qe2, vid], axis=1).T  # (16, 20)
-    return C.astype(np.float32), n.astype(np.float32)
-
-
-_CTAB, _NORMALS = _face_constants()
-
-# one-hot expansion matrices for the bin builds
-_EX = np.zeros((16, 4), np.float32)
-_EY = np.zeros((16, 4), np.float32)
-for _g in range(16):
-    _EX[_g, _g // 4] = 1.0
-    _EY[_g, _g % 4] = 1.0
-_EZ = np.zeros((48, 4), np.float32)
-_EV = np.zeros((48, 12), np.float32)
-for _h in range(48):
-    _EZ[_h, _h // 12] = 1.0
-    _EV[_h, _h % 12] = 1.0
 
 
 def _kernel(
@@ -92,9 +48,9 @@ def _kernel(
     rot_ref,   # scalar-prefetch: (B, 16) f32: R^T row-major (9 used)
     gx_ref, gy_ref, gz_ref,          # (1, 1, SUB, LANE) f32 gradient tiles
     jz_ref, jy_ref, jx_ref,          # (1, SUB, LANE) int32 core-offset maps
-    ctab_ref, ex_ref, ey_ref, ez_ref, ev_ref,  # constant tables (VMEM)
     out_ref,                         # (1, 16, 48) f32 accumulator
     *,
+    nt: int,
     unit: float,
     win_radius: float,
     sigma: float,
@@ -113,6 +69,7 @@ def _kernel(
     r2 = f32(win_radius) * f32(win_radius)
     sigma2 = f32(sigma) * f32(sigma)
 
+    # per-keypoint scalars
     sz = kpi_ref[b, 0]
     sy = kpi_ref[b, 1]
     sx = kpi_ref[b, 2]
@@ -127,6 +84,7 @@ def _kernel(
     zhi = kpi_ref[b, 11]
     ok = kpok_ref[b]
 
+    # absolute voxel coordinates of this tile
     az = jz_ref[0] + sz            # (SUB, LANE) int32
     ay = jy_ref[0] + sy
     ax = jx_ref[0] + sx
@@ -168,12 +126,59 @@ def _kernel(
     gry = R[3] * gvx + R[4] * gvy + R[5] * gvz
     grz = R[6] * gvx + R[7] * gvy + R[8] * gvz
 
+    # --- 20-face first-hit select (Check_intersect_faces) ----------------
+    e1 = MESH_CONST["e1"]
+    e2 = MESH_CONST["e2"]
+    tt = MESH_CONST["t"]
+    qq = MESH_CONST["q"]
+    qe2 = np.sum(qq * e2, axis=-1)
+
     g2 = grx * grx + gry * gry + grz * grz
     nondeg = g2 >= f32(BARY_EPS)
+
+    found = jnp.zeros_like(grx, dtype=jnp.bool_)
+    bx_ = jnp.zeros_like(grx)
+    by_ = jnp.zeros_like(grx)
+    bz_ = jnp.zeros_like(grx)
+    vid0 = jnp.zeros_like(az)
+    vid1 = jnp.zeros_like(az)
+    vid2 = jnp.zeros_like(az)
+
+    for i in range(20):
+        E1x, E1y, E1z = (f32(v) for v in e1[i])
+        E2x, E2y, E2z = (f32(v) for v in e2[i])
+        Tx, Ty, Tz = (f32(v) for v in tt[i])
+        Qx, Qy, Qz = (f32(v) for v in qq[i])
+        # p = grad x e2
+        px = gry * E2z - grz * E2y
+        py = grz * E2x - grx * E2z
+        pz = grx * E2y - gry * E2x
+        det = E1x * px + E1y * py + E1z * pz
+        det_ok = jnp.abs(det) >= f32(BARY_EPS)
+        det_inv = f32(1.0) / jnp.where(det_ok, det, f32(1.0))
+        byv = det_inv * (px * Tx + py * Ty + pz * Tz)
+        bzv = det_inv * (grx * Qx + gry * Qy + grz * Qz)
+        bxv = f32(1.0) - byv - bzv
+        kv = det_inv * f32(qe2[i])
+        okf = (
+            nondeg & det_ok
+            & (bxv >= f32(-BARY_EPS)) & (byv >= f32(-BARY_EPS))
+            & (bzv >= f32(-BARY_EPS)) & (kv >= 0)
+        )
+        new = okf & ~found
+        bx_ = jnp.where(new, bxv, bx_)
+        by_ = jnp.where(new, byv, by_)
+        bz_ = jnp.where(new, bzv, bz_)
+        vid0 = jnp.where(new, TRI_IDX[i][0], vid0)
+        vid1 = jnp.where(new, TRI_IDX[i][1], vid1)
+        vid2 = jnp.where(new, TRI_IDX[i][2], vid2)
+        found = found | okf
+
     mag = jnp.sqrt(g2)
+    contrib = inside & bins_ok & found
+    val = jnp.where(contrib, mag, f32(0.0))
 
-    valmask = jnp.where(inside & bins_ok & nondeg, mag, f32(0.0))
-
+    # spatial bin bases: trunc-toward-zero base, floor-based fraction
     basex = vbx.astype(jnp.int32)
     basey = vby.astype(jnp.int32)
     basez = vbz.astype(jnp.int32)
@@ -181,96 +186,41 @@ def _kernel(
     fracy = vby - jnp.floor(vby)
     fracz = vbz - jnp.floor(vbz)
 
-    Ctab = ctab_ref[:]              # (16, 20)
-    EX = ex_ref[:]
-    EY = ey_ref[:]
-    EZ = ez_ref[:]
-    EV = ev_ref[:]
-    N = _NORMALS                    # numpy (20, 3): rows become immediates
-
-    iota4 = jax.lax.broadcasted_iota(jnp.int32, (4, LANE), 0)
-    iota12f = jax.lax.broadcasted_iota(jnp.int32, (12, LANE), 0).astype(f32)
-    iota20 = jax.lax.broadcasted_iota(jnp.int32, (20, LANE), 0)
-
-    hi_prec = jax.lax.Precision.HIGHEST
-    dot_kw = dict(preferred_element_type=jnp.float32, precision=hi_prec)
+    # --- accumulate: per sublane row, build G(16, LANE), H(48, LANE) ------
+    # G row g = (x, y) bin pair with g = x*4 + y; H row h = (z, vert) with
+    # h = z*12 + vert — matching the XLA layout in ops/descriptor.py.
+    gxi = jax.lax.broadcasted_iota(jnp.int32, (16, LANE), 0) // 4
+    gyi = jax.lax.broadcasted_iota(jnp.int32, (16, LANE), 0) % 4
+    hzi = jax.lax.broadcasted_iota(jnp.int32, (48, LANE), 0) // 12
+    hvi = jax.lax.broadcasted_iota(jnp.int32, (48, LANE), 0) % 12
 
     acc = jnp.zeros((16, 48), jnp.float32)
     for s in range(SUB):
         def row(a):
             return a[s : s + 1, :]  # (1, LANE)
 
-        gxs, gys, gzs = row(grx), row(gry), row(grz)
-
-        # --- face via argmax over outward normals -------------------------
-        D = jnp.concatenate(
-            [f32(N[i, 0]) * gxs + f32(N[i, 1]) * gys + f32(N[i, 2]) * gzs
-             for i in range(20)],
-            axis=0,
-        )  # (20, LANE)
-        best = jnp.max(D, axis=0, keepdims=True)
-        hit = D == best
-        first = jnp.min(jnp.where(hit, iota20, 99), axis=0, keepdims=True)
-        onehot = (iota20 == first).astype(f32)  # (20, LANE), exactly one bit
-
-        C = jax.lax.dot_general(Ctab, onehot, (((1,), (0,)), ((), ())), **dot_kw)
-        # rows: 0-2 e1, 3-5 e2, 6-8 t, 9-11 q, 12 qe2, 13-15 vid
-        E1x, E1y, E1z = C[0:1], C[1:2], C[2:3]
-        E2x, E2y, E2z = C[3:4], C[4:5], C[5:6]
-        Tx, Ty, Tz = C[6:7], C[7:8], C[8:9]
-        Qx, Qy, Qz = C[9:10], C[10:11], C[11:12]
-        QE2 = C[12:13]
-        vid0, vid1, vid2 = C[13:14], C[14:15], C[15:16]
-
-        px = gys * E2z - gzs * E2y
-        py = gzs * E2x - gxs * E2z
-        pz = gxs * E2y - gys * E2x
-        det = E1x * px + E1y * py + E1z * pz
-        det_ok = jnp.abs(det) >= f32(BARY_EPS)
-        det_inv = f32(1.0) / jnp.where(det_ok, det, f32(1.0))
-        byv = det_inv * (px * Tx + py * Ty + pz * Tz)
-        bzv = det_inv * (gxs * Qx + gys * Qy + gzs * Qz)
-        bxv = f32(1.0) - byv - bzv
-        kv = det_inv * QE2
-        okf = (
-            det_ok
-            & (bxv >= f32(-BARY_EPS)) & (byv >= f32(-BARY_EPS))
-            & (bzv >= f32(-BARY_EPS)) & (kv >= 0)
-        )
-        val = jnp.where(okf, row(valmask), f32(0.0))  # (1, LANE)
-
-        # --- bin strips ---------------------------------------------------
         bxs, bys, bzs = row(basex), row(basey), row(basez)
         fxs, fys, fzs = row(fracx), row(fracy), row(fracz)
-        Wx = (
-            (iota4 == bxs).astype(f32) * (f32(1.0) - fxs)
-            + (iota4 == bxs + 1).astype(f32) * fxs
-        )
-        Wy = (
-            (iota4 == bys).astype(f32) * (f32(1.0) - fys)
-            + (iota4 == bys + 1).astype(f32) * fys
-        )
-        Wz = (
-            (iota4 == bzs).astype(f32) * (f32(1.0) - fzs)
-            + (iota4 == bzs + 1).astype(f32) * fzs
-        )
-        V12 = (
-            (iota12f == vid0).astype(f32) * (bxv * val)
-            + (iota12f == vid1).astype(f32) * (byv * val)
-            + (iota12f == vid2).astype(f32) * (bzv * val)
-        )  # (12, LANE)
-
         G = (
-            jax.lax.dot_general(EX, Wx, (((1,), (0,)), ((), ())), **dot_kw)
-            * jax.lax.dot_general(EY, Wy, (((1,), (0,)), ((), ())), **dot_kw)
-        )  # (16, LANE)
+            (gxi == bxs).astype(jnp.float32) * (f32(1.0) - fxs)
+            + (gxi == bxs + 1).astype(jnp.float32) * fxs
+        ) * (
+            (gyi == bys).astype(jnp.float32) * (f32(1.0) - fys)
+            + (gyi == bys + 1).astype(jnp.float32) * fys
+        )
+        vals = row(val)
         H = (
-            jax.lax.dot_general(EZ, Wz, (((1,), (0,)), ((), ())), **dot_kw)
-            * jax.lax.dot_general(EV, V12, (((1,), (0,)), ((), ())), **dot_kw)
-        )  # (48, LANE)
-
+            (hzi == bzs).astype(jnp.float32) * (f32(1.0) - fzs)
+            + (hzi == bzs + 1).astype(jnp.float32) * fzs
+        ) * (
+            (hvi == row(vid0)).astype(jnp.float32) * row(bx_)
+            + (hvi == row(vid1)).astype(jnp.float32) * row(by_)
+            + (hvi == row(vid2)).astype(jnp.float32) * row(bz_)
+        ) * vals
         acc = acc + jax.lax.dot_general(
-            G, H, (((1,), (1,)), ((), ())), **dot_kw
+            G, H, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     out_ref[0] = out_ref[0] + acc
@@ -297,6 +247,7 @@ def descriptor_bins_pallas(
 
     kernel = functools.partial(
         _kernel,
+        nt=nt,
         unit=unit,
         win_radius=win_radius,
         sigma=sigma,
@@ -322,10 +273,6 @@ def descriptor_bins_pallas(
         in_specs=[
             g_spec(), g_spec(), g_spec(),
             j_spec(), j_spec(), j_spec(),
-        ] + [
-            pl.BlockSpec(shape, lambda b, t, *_: (0,) * len(shape),
-                         memory_space=pltpu.VMEM)
-            for shape in ((16, 20), (16, 4), (16, 4), (48, 4), (48, 12))
         ],
         out_specs=pl.BlockSpec(
             (1, 16, 48), lambda b, t, *_: (b, 0, 0), memory_space=pltpu.VMEM
@@ -343,6 +290,4 @@ def descriptor_bins_pallas(
         kpi, kpok, rotT,
         gx.reshape(shape4), gy.reshape(shape4), gz.reshape(shape4),
         jzm.reshape(shape3), jym.reshape(shape3), jxm.reshape(shape3),
-        jnp.asarray(_CTAB), jnp.asarray(_EX), jnp.asarray(_EY),
-        jnp.asarray(_EZ), jnp.asarray(_EV),
     )
