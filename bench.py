@@ -164,6 +164,11 @@ def main():
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--skip-cpu", action="store_true")
+    ap.add_argument(
+        "--kp-cap", type=int, default=16384,
+        help="per-level keypoint capacity; must exceed the densest level's "
+        "extremum count for full recall parity with the uncapped reference",
+    )
     args = ap.parse_args()
 
     import jax
@@ -171,7 +176,10 @@ def main():
     jax.config.update("jax_compilation_cache_dir", str(Path(__file__).parent / ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    value, info = tpu_time(args.size, args.runs)
+    from sift3d_tpu import SiftConfig
+
+    cfg = SiftConfig(max_kp_per_level=args.kp_cap)
+    value, info = tpu_time(args.size, args.runs, cfg)
 
     vs_baseline = None
     if not args.skip_cpu:

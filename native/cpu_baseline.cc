@@ -173,7 +173,7 @@ Mesh build_mesh() {
     float dot = n[0] * m.tv[f][0][0] + n[1] * m.tv[f][0][1] + n[2] * m.tv[f][0][2];
     if (dot < 0)
       for (int c = 0; c < 3; ++c) std::swap(m.tv[f][0][c], m.tv[f][1][c]);
-    // outward normal for bookkeeping
+    // outward unit normal: (v1-v0)x(v2-v0), flipped towards the face centre
     for (int c = 0; c < 3; ++c) {
       t1[c] = m.tv[f][1][c] - m.tv[f][0][c];
       t2[c] = m.tv[f][2][c] - m.tv[f][0][c];
@@ -181,7 +181,14 @@ Mesh build_mesh() {
     n[0] = t1[1] * t2[2] - t1[2] * t2[1];
     n[1] = t1[2] * t2[0] - t1[0] * t2[2];
     n[2] = t1[0] * t2[1] - t1[1] * t2[0];
+    float cx = 0, cy = 0, cz = 0;
+    for (int j = 0; j < 3; ++j) {
+      cx += m.tv[f][j][0] / 3.f;
+      cy += m.tv[f][j][1] / 3.f;
+      cz += m.tv[f][j][2] / 3.f;
+    }
     float nm = std::sqrt(n[0] * n[0] + n[1] * n[1] + n[2] * n[2]);
+    if (n[0] * cx + n[1] * cy + n[2] * cz < 0) nm = -nm;
     for (int c = 0; c < 3; ++c) m.normals[f][c] = n[c] / nm;
   }
   return m;
