@@ -85,11 +85,15 @@ def tpu_time(size: int, runs: int, cfg=None) -> tuple[float, dict]:
         times.append(time.time() - t0)
 
     rc, tc, valid, n_ref, n_tar = out
+    kr = sift.extract(ref)
+    counts = np.asarray(kr.counts)
+    dropped = int(np.maximum(counts - cfg.max_kp_per_level, 0).sum())
     info = {
         "compile_s": round(compile_s, 2),
         "ref_keypoints": int(n_ref),
         "tar_keypoints": int(n_tar),
         "matches": int(np.asarray(valid).sum()),
+        "extrema_dropped_by_cap": dropped,
         "times": [round(t, 4) for t in times],
     }
     return float(np.median(times)), info

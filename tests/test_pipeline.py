@@ -147,3 +147,32 @@ def test_end_to_end_match_against_oracle(rand32, oracle32):
     # near-total agreement; borderline ratio-test flips tolerated
     inter = len(got & want)
     assert inter >= 0.95 * max(len(want), 1), (len(got), len(want), inter)
+
+
+@pytest.mark.parametrize(
+    "cfg_kwargs",
+    [
+        {"peak_thresh": 0.05},
+        {"num_kp_levels": 2},
+        {"corner_thresh": 0.2, "max_eig_thres": 0.8},
+    ],
+)
+def test_config_variants_match_oracle(rand32, cfg_kwargs):
+    """Factory-parameter plumbing (Include/cSIFT3D.h:187-202): non-default
+    configs must flow through both pipelines identically."""
+    cfg = SiftConfig(max_kp_per_level=1024, **cfg_kwargs)
+    oracle = cpu_sift.run_sift(rand32, cfg)
+    sift = SIFT3D(cfg)
+    kps = sift.extract(rand32)
+
+    got = set()
+    xyz = np.asarray(kps.xyz)
+    valid = np.asarray(kps.valid)
+    oct_ = np.asarray(kps.octave)
+    lev = np.asarray(kps.level)
+    for i in range(xyz.shape[0]):
+        if valid[i]:
+            got.add((int(oct_[i]), int(lev[i]), int(xyz[i, 2]), int(xyz[i, 1]), int(xyz[i, 0])))
+    want = {_key(kp) for kp in oracle.keypoints}
+    common = len(got & want)
+    assert common >= 0.99 * max(len(want), 1), (len(got), len(want), common)
