@@ -16,6 +16,8 @@ import sys
 import tempfile
 from pathlib import Path
 
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import numpy as np
 
 
@@ -40,8 +42,9 @@ def main():
         d = Path(tempfile.mkdtemp(prefix="sift3d_example_"))
         ref_path = d / "Torus_Ref.nii.gz"
         tar_path = d / "Torus_Def.nii.gz"
-        write_nii(ref_path, fixtures.torus_volume((64, 64, 64), noise=0.02))
-        write_nii(tar_path, fixtures.warped_torus((64, 64, 64)))
+        base = fixtures.torus_volume((96, 96, 96), noise=0.02)
+        write_nii(ref_path, fixtures.warped_volume(base, (0.31, 0.17, 0.23)))
+        write_nii(tar_path, fixtures.warped_volume(base, (1.5, -2.0, 1.0)))
         print(f"(no volumes given; synthetic torus pair in {d})", file=sys.stderr)
 
     ref = read_nii(ref_path)
