@@ -64,15 +64,24 @@ class SiftConfig:
     corner_thresh: float = CORNER_THRESH
 
     # TPU static-shape knobs -------------------------------------------------
-    # Max keypoints retained per (octave, level); detection compacts the
+    # Max keypoints retained per level of octave 0; detection compacts the
     # extremum mask into this capacity (row-major order, like the reference's
-    # z-y-x scan at Src/cSIFT3D.cc:388-417).
+    # z-y-x scan at Src/cSIFT3D.cc:388-417). Higher octaves hold 8x fewer
+    # voxels per step, so their capacity decays by `cap_octave_decay` bits
+    # per octave down to `cap_floor` (post-detection stages are vectorised
+    # over the full capacity, so oversized caps cost real time).
     max_kp_per_level: int = 4096
+    cap_octave_decay: int = 3
+    cap_floor: int = 512
     # Keypoint batch size for the orientation/descriptor window stages.
     kp_block: int = 32
     # Descriptor binning backend: None = auto (Pallas kernel on TPU, XLA
     # elsewhere); True/False forces.
     use_pallas: bool | None = None
+
+    def cap_for_octave(self, octave: int) -> int:
+        cap = self.max_kp_per_level >> (self.cap_octave_decay * octave)
+        return max(cap, min(self.cap_floor, self.max_kp_per_level))
 
     @property
     def gss_levels(self) -> int:

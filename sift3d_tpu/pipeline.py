@@ -111,7 +111,7 @@ def _level_stage(dog_prev, dog_cur, dog_next, gss_level, *, plan, o, i):
     module size), and level modules are reused from the persistent cache.
     """
     cfg = plan.cfg
-    cap = cfg.max_kp_per_level
+    cap = cfg.cap_for_octave(o)
     meta = plan.gss_meta(o, i)
 
     det = D.detect_level(dog_prev, dog_cur, dog_next, cfg.peak_thresh, cap,
