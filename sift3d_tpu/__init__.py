@@ -7,6 +7,9 @@ matching (inject/biject/enhanced), plus multi-chip sharding and groupwise
 registration layers that the single-process reference does not have.
 """
 
+__version__ = "0.1.0"
+
+from .api import extract_file, load_volume, match_files
 from .config import SiftConfig
 from .pipeline import (
     SIFT3D,
@@ -18,6 +21,9 @@ from .pipeline import (
 
 __all__ = [
     "SiftConfig",
+    "extract_file",
+    "load_volume",
+    "match_files",
     "SIFT3D",
     "KeypointSet",
     "enhanced_match",

@@ -1,0 +1,58 @@
+"""Convenience file-level API.
+
+The reference offers a path-based factory (CSIFT3DFactory::CreateCSIFT3D
+(std::string), Src/cSIFT3D.cc:112-125) and the Example.cpp driver flow; this
+module is the equivalent one-call surface: volumes in, matched coordinate
+pairs out.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from .config import SiftConfig
+from .pipeline import SIFT3D, biject_match, enhanced_match, inject_match
+
+_MATCHERS = {
+    "inject": inject_match,
+    "biject": biject_match,
+    "enhanced": enhanced_match,
+}
+
+
+def load_volume(path: str | Path) -> np.ndarray:
+    """Load a volume by extension: .nii/.nii.gz (NIfTI) or anything else as
+    the reference's matrixIO3D raw binary format."""
+    p = str(path)
+    if p.endswith(".nii") or p.endswith(".nii.gz"):
+        from .io.native import read_nii
+
+        return read_nii(p)
+    from .io.matrixio import read_matrix
+
+    return read_matrix(p)
+
+
+def extract_file(path: str | Path, cfg: SiftConfig | None = None):
+    """Extract keypoints from a volume file (path-based factory parity)."""
+    sift = SIFT3D(cfg)
+    return sift.extract(load_volume(path))
+
+
+def match_files(
+    ref_path: str | Path,
+    tar_path: str | Path,
+    threshold: float = 0.85,
+    mode: str = "enhanced",
+    cfg: SiftConfig | None = None,
+):
+    """Example.cpp in one call: returns (ref_coords, tar_coords) as dense
+    (M, 3) original-image coordinate arrays of the surviving pairs."""
+    sift = SIFT3D(cfg)
+    ref_kps = sift.extract(load_volume(ref_path))
+    tar_kps = sift.extract(load_volume(tar_path))
+    rc, tc, valid = _MATCHERS[mode](ref_kps, tar_kps, threshold)
+    v = np.asarray(valid)
+    return np.asarray(rc)[v], np.asarray(tc)[v]

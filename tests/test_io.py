@@ -89,3 +89,19 @@ def test_keypoint_checkpoint_roundtrip(tmp_path):
     # matching a checkpointed set against the live set reproduces self-matches
     rc, tc, valid = enhanced_match(back, kps, 0.9)
     assert int(np.asarray(valid).sum()) > 0
+
+
+def test_match_files_api(tmp_path):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from sift3d_tpu import match_files
+    from sift3d_tpu.oracle import fixtures
+
+    base = fixtures.smooth_random_volume((32, 32, 32), seed=7, smooth=2)
+    ref = fixtures.warped_volume(base, (0.3, 0.2, 0.1))
+    tar = fixtures.warped_volume(base, (1.3, -0.8, 0.6))
+    nifti.write_nii(tmp_path / "ref.nii.gz", ref)
+    nifti.write_nii(tmp_path / "tar.nii.gz", tar)
+    rc, tc = match_files(tmp_path / "ref.nii.gz", tmp_path / "tar.nii.gz")
+    assert rc.shape == tc.shape and rc.shape[1] == 3

@@ -176,3 +176,21 @@ def test_config_variants_match_oracle(rand32, cfg_kwargs):
     want = {_key(kp) for kp in oracle.keypoints}
     common = len(got & want)
     assert common >= 0.99 * max(len(want), 1), (len(got), len(want), common)
+
+
+def test_non_cubic_volume_matches_oracle():
+    vol = fixtures.smooth_random_volume((40, 48, 32), seed=11, smooth=2)
+    oracle = cpu_sift.run_sift(vol)
+    sift = SIFT3D(SiftConfig(max_kp_per_level=512))
+    kps = sift.extract(vol)
+    got = set()
+    xyz = np.asarray(kps.xyz)
+    valid = np.asarray(kps.valid)
+    oct_ = np.asarray(kps.octave)
+    lev = np.asarray(kps.level)
+    for i in range(xyz.shape[0]):
+        if valid[i]:
+            got.add((int(oct_[i]), int(lev[i]), int(xyz[i, 2]), int(xyz[i, 1]), int(xyz[i, 0])))
+    want = {_key(kp) for kp in oracle.keypoints}
+    common = len(got & want)
+    assert common >= 0.99 * max(len(want), 1), (len(got), len(want), common)
