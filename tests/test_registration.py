@@ -126,3 +126,26 @@ def test_pose_graph_sharded_matches_single():
     np.testing.assert_allclose(
         np.asarray(sharded.t), np.asarray(single.t), atol=1e-3
     )
+
+
+def test_register_group_end_to_end():
+    from sift3d_tpu.config import SiftConfig
+    from sift3d_tpu.oracle import fixtures
+    from sift3d_tpu.parallel import group
+
+    rng = np.random.default_rng(1)
+    base = fixtures.smooth_random_volume((40, 40, 40), seed=0, smooth=3)
+    shifts = [(0.31, 0.17, 0.23)] + [tuple(rng.uniform(-2, 2, 3)) for _ in range(2)]
+    vols = [fixtures.warped_volume(base, s) for s in shifts]
+
+    res = group.register_group(
+        vols, SiftConfig(max_kp_per_level=512), inlier_thresh=1.5
+    )
+    assert len(res.edges) >= 2
+    for k in range(3):
+        t = np.asarray(res.poses.t[k])
+        sk = np.array([shifts[k][2], shifts[k][1], shifts[k][0]])
+        s0 = np.array([shifts[0][2], shifts[0][1], shifts[0][0]])
+        gt = -(sk - s0)
+        # integer keypoint coords + ~6-8 inliers per edge bound the accuracy
+        assert np.linalg.norm(t - gt) < 1.75, (k, t, gt)
