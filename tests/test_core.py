@@ -123,3 +123,39 @@ def test_smoothing_matrix_right_edge_blend():
         row[lo] += tap * (1 - frac)
         row[min(lo + 1, n - 1)] += tap * frac
     np.testing.assert_allclose(W[n - 1], row, atol=1e-7)
+
+
+def test_detection_cap_truncates_in_scan_order():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from sift3d_tpu.ops import detect as D
+
+    rng = np.random.default_rng(5)
+    vol = rng.standard_normal((16, 16, 16)).astype(np.float32)
+    # prev/next at half amplitude: in-level local extrema survive the
+    # cross-level comparison
+    full = D.detect_level(jnp.asarray(vol * 0.5), jnp.asarray(vol),
+                          jnp.asarray(vol * 0.5), 0.01, 4096)
+    count = int(full.count)
+    assert count > 16
+    capped = D.detect_level(jnp.asarray(vol * 0.5), jnp.asarray(vol),
+                            jnp.asarray(vol * 0.5), 0.01, 16)
+    assert int(capped.count) == count  # true count still reported
+    # the 16 kept are exactly the first 16 in z,y,x scan order
+    np.testing.assert_array_equal(
+        np.asarray(capped.x), np.asarray(full.x)[:16])
+    np.testing.assert_array_equal(
+        np.asarray(capped.z), np.asarray(full.z)[:16])
+
+
+def test_cap_for_octave_decay():
+    cfg = C.SiftConfig(max_kp_per_level=16384, cap_octave_decay=3, cap_floor=512)
+    assert cfg.cap_for_octave(0) == 16384
+    assert cfg.cap_for_octave(1) == 2048
+    assert cfg.cap_for_octave(2) == 512
+    assert cfg.cap_for_octave(5) == 512
+    small = C.SiftConfig(max_kp_per_level=256)
+    assert small.cap_for_octave(3) == 256
