@@ -29,9 +29,23 @@ def main():
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--max-devices", type=int, default=None)
     ap.add_argument("--kp-cap", type=int, default=2048)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend with 8 virtual devices "
+                    "(functional scaling only; no perf meaning)")
     args = ap.parse_args()
 
+    import os
+
+    if args.cpu:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from sift3d_tpu.config import SiftConfig
     from sift3d_tpu.oracle import fixtures

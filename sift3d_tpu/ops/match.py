@@ -33,6 +33,11 @@ import jax.numpy as jnp
 INJECT, BIJECT, ENHANCED = 0, 1, 2
 _FLT_MIN = 1.1754943508222875e-38  # FLT_MIN init of the top-2 scan
 
+# Score-matmul precision: HIGHEST = true f32 (6 bf16 MXU passes). HIGH
+# (3 passes, ~2x faster) is a candidate once match-set equality is verified
+# on hardware; flip here to experiment.
+SCORE_PRECISION = [jax.lax.Precision.HIGHEST]
+
 
 class Top2(NamedTuple):
     d1: jnp.ndarray  # (N,) f32 best distance 2-2*dot
@@ -66,7 +71,7 @@ def top2_scores(
         rows = jax.lax.dynamic_slice_in_dim(ref_p, i * row_chunk, row_chunk)
         scores = (
             jnp.dot(rows, tar_desc.T, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST) + tmask
+                    precision=SCORE_PRECISION[0]) + tmask
         )
         i1 = jnp.argmax(scores, axis=1)
         s1 = jnp.max(scores, axis=1)
