@@ -57,8 +57,9 @@ def main():
     shape = (args.size,) * 3
     cfg = SiftConfig(max_kp_per_level=args.kp_cap)
 
-    ref = fixtures.torus_volume(shape, noise=0.02, seed=0)
-    tar = fixtures.warped_torus(shape)
+    base = fixtures.torus_volume(shape, noise=0.02, seed=0)
+    ref = fixtures.warped_volume(base, (0.31, 0.17, 0.23))
+    tar = fixtures.warped_volume(base, (1.81, -1.83, 1.23))
 
     sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= min(limit, ndev_avail)]
     base_rate = None
