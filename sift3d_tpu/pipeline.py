@@ -84,7 +84,6 @@ def build_pyramids(vol: jnp.ndarray, plan: PyramidPlan, constrain=None):
 
 def _extract_impl(vol: jnp.ndarray, plan: PyramidPlan, constrain=None) -> KeypointSet:
     cfg = plan.cfg
-    cap = cfg.max_kp_per_level
     dl = cfg.dog_levels
 
     vol = G.data_scale(vol.astype(jnp.float32))
