@@ -180,20 +180,39 @@ class SIFT3D:
     def plan(self, shape: tuple[int, int, int]) -> PyramidPlan:
         return make_plan(self.cfg, shape)
 
-    def extract(self, volume) -> KeypointSet:
-        """volume: (nz, ny, nx) array-like, any dtype castable to float32."""
+    def extract_timed(self, volume):
+        """extract() with per-stage wall-clock timing (the reference's
+        time_info/SIFT_TimerPara reports, Src/cSIFT3D.cc:78-101, 228-233).
+        Returns (KeypointSet, SiftTimer)."""
+        import jax as _jax
+
+        from .utils.timing import SiftTimer
+
+        timer = SiftTimer()
         vol = jnp.asarray(volume, dtype=jnp.float32)
         shape = tuple(int(s) for s in vol.shape)
         plan = self.plan(shape)
+        with timer.stage("BuildGSS+DoG"):
+            gss, dog = self._pyramids(vol, shape, plan)
+            _jax.block_until_ready((gss, dog))
+        with timer.stage("Detect+Orient+Describe (per level)"):
+            sets = self._levels(gss, dog, shape, plan)
+            _jax.block_until_ready(sets)
+        with timer.stage("Merge"):
+            merged = self._merge_jit(sets)
+            _jax.block_until_ready(merged)
+        return merged, timer
 
+    def _pyramids(self, vol, shape, plan):
         if shape not in self._pyramid_jit:
             def pyramids(v):
                 v = G.data_scale(v)
                 return build_pyramids(v, plan)
 
             self._pyramid_jit[shape] = jax.jit(pyramids)
-        gss, dog = self._pyramid_jit[shape](vol)
+        return self._pyramid_jit[shape](vol)
 
+    def _levels(self, gss, dog, shape, plan):
         cfg = self.cfg
         dl = cfg.dog_levels
         sets = []
@@ -206,10 +225,19 @@ class SIFT3D:
                     )
                 sets.append(
                     self._level_jits[key](
-                        dog[o * dl + i - 1], dog[o * dl + i], dog[o * dl + i + 1],
-                        gss[o * cfg.gss_levels + i],
+                        dog[o * dl + i - 1], dog[o * dl + i],
+                        dog[o * dl + i + 1], gss[o * cfg.gss_levels + i],
                     )
                 )
+        return sets
+
+    def extract(self, volume) -> KeypointSet:
+        """volume: (nz, ny, nx) array-like, any dtype castable to float32."""
+        vol = jnp.asarray(volume, dtype=jnp.float32)
+        shape = tuple(int(s) for s in vol.shape)
+        plan = self.plan(shape)
+        gss, dog = self._pyramids(vol, shape, plan)
+        sets = self._levels(gss, dog, shape, plan)
         return self._merge_jit(sets)
 
 

@@ -159,3 +159,21 @@ def test_cap_for_octave_decay():
     assert cfg.cap_for_octave(5) == 512
     small = C.SiftConfig(max_kp_per_level=256)
     assert small.cap_for_octave(3) == 256
+
+
+def test_extract_timed_reports_stages():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from sift3d_tpu import SIFT3D, SiftConfig
+    from sift3d_tpu.oracle import fixtures
+    from sift3d_tpu.utils.timing import rejection_histogram
+
+    vol = fixtures.smooth_random_volume((32, 32, 32), seed=7, smooth=2)
+    sift = SIFT3D(SiftConfig(max_kp_per_level=256))
+    kps, timer = sift.extract_timed(vol)
+    assert "BuildGSS+DoG" in timer.stages
+    assert timer.total > 0
+    hist = rejection_histogram(kps)
+    assert hist["accepted"] == int(kps.num_valid)
+    assert hist["detected"] >= hist["accepted"]
