@@ -30,12 +30,20 @@ CACHE = Path(__file__).parent / "BENCH_CPU_CACHE.json"
 
 def bench_pair(shape):
     """The benchmark volume pair: a textured torus and a rigidly shifted
-    copy, both trilinear-resampled."""
+    copy, both trilinear-resampled. Cached on disk: the pure-NumPy
+    trilinear resample costs ~6 min per 256^3 volume on this host."""
     from sift3d_tpu.oracle import fixtures
 
+    cache_dir = Path(__file__).parent / ".fixture_cache"
+    key = cache_dir / f"pair_{shape[0]}x{shape[1]}x{shape[2]}.npz"
+    if key.exists():
+        with np.load(key) as z:
+            return z["ref"], z["tar"]
     base = fixtures.torus_volume(shape, noise=0.02, seed=0)
     ref = fixtures.warped_volume(base, (0.31, 0.17, 0.23))
     tar = fixtures.warped_volume(base, (1.81, -1.83, 1.23))
+    cache_dir.mkdir(exist_ok=True)
+    np.savez(key, ref=ref, tar=tar)
     return ref, tar
 
 

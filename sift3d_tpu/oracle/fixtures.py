@@ -22,12 +22,9 @@ def torus_volume(
     nz, ny, nx = shape
     major = major if major is not None else 0.28 * min(nx, ny)
     minor = minor if minor is not None else 0.10 * min(nx, ny)
-    z, y, x = np.meshgrid(
-        np.arange(nz, dtype=np.float32) - (nz - 1) / 2.0,
-        np.arange(ny, dtype=np.float32) - (ny - 1) / 2.0,
-        np.arange(nx, dtype=np.float32) - (nx - 1) / 2.0,
-        indexing="ij",
-    )
+    z = (np.arange(nz, dtype=np.float32) - (nz - 1) / 2.0)[:, None, None]
+    y = (np.arange(ny, dtype=np.float32) - (ny - 1) / 2.0)[None, :, None]
+    x = (np.arange(nx, dtype=np.float32) - (nx - 1) / 2.0)[None, None, :]
     ring = np.sqrt(x * x + y * y) - major
     d2 = ring * ring + z * z
     vol = np.exp(-d2 / (2.0 * (minor / 1.5) ** 2)).astype(np.float32)
@@ -56,10 +53,13 @@ def warped_volume(
     """
     nz, ny, nx = base.shape
     sz, sy, sx = shift
-    z = np.clip(np.arange(nz, dtype=np.float32) - sz, 0, nz - 1)
-    y = np.clip(np.arange(ny, dtype=np.float32) - sy, 0, ny - 1)
-    x = np.clip(np.arange(nx, dtype=np.float32) - sx, 0, nx - 1)
-    zi, yi, xi = np.meshgrid(z, y, x, indexing="ij")
+    # The shift is axis-aligned, so sample coordinates are separable:
+    # broadcast 1-D index/fraction arrays instead of full 3-D meshgrids
+    # (numerically identical; the dense-meshgrid fancy-indexing path was
+    # pathologically slow in NumPy beyond ~128^3).
+    zi = np.clip(np.arange(nz, dtype=np.float32) - sz, 0, nz - 1)[:, None, None]
+    yi = np.clip(np.arange(ny, dtype=np.float32) - sy, 0, ny - 1)[None, :, None]
+    xi = np.clip(np.arange(nx, dtype=np.float32) - sx, 0, nx - 1)[None, None, :]
 
     z0 = np.floor(zi).astype(int); z1 = np.minimum(z0 + 1, nz - 1)
     y0 = np.floor(yi).astype(int); y1 = np.minimum(y0 + 1, ny - 1)
