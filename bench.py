@@ -94,14 +94,7 @@ def tpu_time(size: int, runs: int, cfg=None) -> tuple[float, dict]:
 
     rc, tc, valid, n_ref, n_tar = out
     kr = sift.extract(ref)
-    counts = np.asarray(kr.counts)
-    plan = sift.plan(shape)
-    caps = np.array([
-        cfg.cap_for_octave(o)
-        for o in range(plan.num_octaves)
-        for _ in range(1, cfg.dog_levels - 1)
-    ])
-    dropped = int(np.maximum(counts - caps, 0).sum())
+    dropped = int(jax.device_get(kr.dropped_by_cap))
     info = {
         "compile_s": round(compile_s, 2),
         "ref_keypoints": int(n_ref),

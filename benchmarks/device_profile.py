@@ -21,8 +21,7 @@ from pathlib import Path
 
 def parse_xspace(trace_dir: str):
     """Aggregate device-time (ps) per HLO op name from the xplane.pb."""
-    from xprof.convert import _pywrap_profiler_plugin  # noqa: F401 (ensures lib)
-    from tensorboard_plugin_profile.protobuf import xplane_pb2
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     paths = glob.glob(
         os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True

@@ -63,14 +63,14 @@ def main():
         t["pyramids"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        sets_r = sift._levels(gss_r, dog_r, shape, plan)
-        sets_t = sift._levels(gss_t, dog_t, shape, plan)
+        sets_r = sift._octaves(gss_r, dog_r, shape, plan)
+        sets_t = sift._octaves(gss_t, dog_t, shape, plan)
         jax.block_until_ready((sets_r, sets_t))
         t["levels"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        kr = sift._merge_jit(sets_r)
-        kt = sift._merge_jit(sets_t)
+        kr = sift._finalize_jit(sets_r)
+        kt = sift._finalize_jit(sets_t)
         jax.block_until_ready((kr, kt))
         t["merge"] = time.perf_counter() - t0
 
@@ -93,23 +93,21 @@ def main():
     runs = [run_once() for _ in range(3)]
     best = {k: round(min(r[k] for r in runs), 4) for k in runs[0]}
 
-    # finer: time each level jit separately on ref volume
+    # finer: time each octave jit separately on ref volume
     plan = sift.plan(shape)
     ref = jax.device_put(ref_np)
     gss, dog = sift._pyramids(ref, shape, plan)
     jax.block_until_ready((gss, dog))
     lev = {}
-    dl = cfg.dog_levels
+    dl, gl = cfg.dog_levels, cfg.gss_levels
     for o in range(plan.num_octaves):
-        for i in range(1, dl - 1):
-            key = (shape, o, i)
-            f = sift._level_jits[key]
-            a = (dog[o * dl + i - 1], dog[o * dl + i], dog[o * dl + i + 1],
-                 gss[o * cfg.gss_levels + i])
-            t0 = time.perf_counter()
-            out = f(*a)
-            jax.block_until_ready(out)
-            lev[f"o{o}i{i}"] = round(time.perf_counter() - t0, 4)
+        f = sift._octave_jits[(shape, o)]
+        a = (tuple(dog[o * dl: (o + 1) * dl]),
+             tuple(gss[o * gl + 1: o * gl + dl - 1]))
+        t0 = time.perf_counter()
+        out = f(*a)
+        jax.block_until_ready(out)
+        lev[f"o{o}"] = round(time.perf_counter() - t0, 4)
 
     if args.trace:
         with jax.profiler.trace(args.trace):

@@ -15,10 +15,10 @@ from pathlib import Path
 
 import numpy as np
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2
 _FIELDS = (
     "xyz", "rxyz", "octave", "level", "scale", "rotation", "desc",
-    "status", "valid", "counts",
+    "status", "valid", "counts", "caps",
 )
 
 
@@ -32,7 +32,7 @@ def save_keypoints(path: str | Path, kps, compact: bool = True) -> None:
     if compact:
         sel = arrays["valid"]
         for f in _FIELDS:
-            if f != "counts":
+            if f not in ("counts", "caps"):
                 arrays[f] = arrays[f][sel]
     np.savez_compressed(path, format_version=FORMAT_VERSION, **arrays)
 
@@ -43,6 +43,9 @@ def load_keypoints(path: str | Path):
 
     with np.load(path) as z:
         version = int(z["format_version"])
-        if version != FORMAT_VERSION:
+        if version not in (1, FORMAT_VERSION):
             raise ValueError(f"unsupported keypoint file version {version}")
-        return KeypointSet(**{f: z[f] for f in _FIELDS})
+        arrays = {f: z[f] for f in _FIELDS if f in z}
+        if "caps" not in arrays:  # version-1 files predate the caps field
+            arrays["caps"] = np.full_like(arrays["counts"], np.iinfo(np.int32).max)
+        return KeypointSet(**arrays)

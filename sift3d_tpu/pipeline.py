@@ -50,10 +50,19 @@ class KeypointSet(NamedTuple):
     status: jnp.ndarray    # (K,) int32 — 1 accepted, -1/-2/-3 rejected, 0 empty lane
     valid: jnp.ndarray     # (K,) bool — accepted keypoints
     counts: jnp.ndarray    # (L,) int32 — raw extrema count per detect level
+    caps: jnp.ndarray      # (L,) int32 — static lane capacity per detect level
 
     @property
     def num_valid(self):
         return jnp.sum(self.valid.astype(jnp.int32))
+
+    @property
+    def dropped_by_cap(self):
+        """Extrema silently dropped because a level overflowed its static
+        capacity (the reference grows its vectors unboundedly; the TPU
+        pipeline keeps the first `cap` in scan order). Nonzero means recall
+        loss — re-run with a larger ``max_kp_per_level``."""
+        return jnp.sum(jnp.maximum(self.counts - self.caps, 0))
 
 
 def build_pyramids(vol: jnp.ndarray, plan: PyramidPlan, constrain=None):
@@ -99,7 +108,7 @@ def _extract_impl(vol: jnp.ndarray, plan: PyramidPlan, constrain=None) -> Keypoi
                     plan=plan, o=o, i=i,
                 )
             )
-    return merge_sets(sets)
+    return sort_valid_first(merge_sets(sets))
 
 
 def _level_stage(dog_prev, dog_cur, dog_next, gss_level, *, plan, o, i):
@@ -145,22 +154,47 @@ def _level_stage(dog_prev, dog_cur, dog_next, gss_level, *, plan, o, i):
         status=ori.status,
         valid=accepted,
         counts=det.count[None],
+        caps=jnp.full((1,), cap, jnp.int32),
     )
 
 
 def merge_sets(sets: list[KeypointSet]) -> KeypointSet:
     return KeypointSet(
-        xyz=jnp.concatenate([s.xyz for s in sets]),
-        rxyz=jnp.concatenate([s.rxyz for s in sets]),
-        octave=jnp.concatenate([s.octave for s in sets]),
-        level=jnp.concatenate([s.level for s in sets]),
-        scale=jnp.concatenate([s.scale for s in sets]),
-        rotation=jnp.concatenate([s.rotation for s in sets]),
-        desc=jnp.concatenate([s.desc for s in sets]),
-        status=jnp.concatenate([s.status for s in sets]),
-        valid=jnp.concatenate([s.valid for s in sets]),
-        counts=jnp.concatenate([s.counts for s in sets]),
+        *[jnp.concatenate([getattr(s, f) for s in sets])
+          for f in KeypointSet._fields]
     )
+
+
+def sort_valid_first(kps: KeypointSet) -> KeypointSet:
+    """Stable-sort lanes so valid keypoints form a dense prefix.
+
+    Relative order of valid keypoints — (octave, level) then scan order —
+    is preserved, matching the reference's `filter` vector ordering
+    (Src/cSIFT3D.cc:459-466). Runs on device: downstream compaction then
+    only needs the count, not a host-side nonzero.
+    """
+    order = jnp.argsort(~kps.valid, stable=True)
+    return KeypointSet(
+        *[getattr(kps, f) if f in ("counts", "caps") else getattr(kps, f)[order]
+          for f in KeypointSet._fields]
+    )
+
+
+def _octave_stage(dogs, gsss, *, plan, o):
+    """All detect levels of one octave in a single jit module.
+
+    dogs: the octave's dog_levels DoG arrays; gsss: the keypoint-level GSS
+    arrays (index i-1 holds level i). One module per octave amortises
+    per-dispatch overhead over the levels without the mega-jit compile blowup
+    (XLA compile time is superlinear in module size).
+    """
+    cfg = plan.cfg
+    sets = [
+        _level_stage(dogs[i - 1], dogs[i], dogs[i + 1], gsss[i - 1],
+                     plan=plan, o=o, i=i)
+        for i in range(1, cfg.dog_levels - 1)
+    ]
+    return merge_sets(sets)
 
 
 class SIFT3D:
@@ -174,8 +208,10 @@ class SIFT3D:
     def __init__(self, cfg: SiftConfig | None = None):
         self.cfg = cfg or SiftConfig()
         self._pyramid_jit = {}
-        self._level_jits = {}
-        self._merge_jit = jax.jit(merge_sets)
+        self._octave_jits = {}
+        self._finalize_jit = jax.jit(
+            lambda sets: sort_valid_first(merge_sets(sets))
+        )
 
     def plan(self, shape: tuple[int, int, int]) -> PyramidPlan:
         return make_plan(self.cfg, shape)
@@ -195,11 +231,11 @@ class SIFT3D:
         with timer.stage("BuildGSS+DoG"):
             gss, dog = self._pyramids(vol, shape, plan)
             _jax.block_until_ready((gss, dog))
-        with timer.stage("Detect+Orient+Describe (per level)"):
-            sets = self._levels(gss, dog, shape, plan)
+        with timer.stage("Detect+Orient+Describe (per octave)"):
+            sets = self._octaves(gss, dog, shape, plan)
             _jax.block_until_ready(sets)
         with timer.stage("Merge"):
-            merged = self._merge_jit(sets)
+            merged = self._finalize_jit(sets)
             _jax.block_until_ready(merged)
         return merged, timer
 
@@ -212,69 +248,66 @@ class SIFT3D:
             self._pyramid_jit[shape] = jax.jit(pyramids)
         return self._pyramid_jit[shape](vol)
 
-    def _levels(self, gss, dog, shape, plan):
+    def _octaves(self, gss, dog, shape, plan):
         cfg = self.cfg
-        dl = cfg.dog_levels
+        dl, gl = cfg.dog_levels, cfg.gss_levels
         sets = []
         for o in range(plan.num_octaves):
-            for i in range(1, dl - 1):
-                key = (shape, o, i)
-                if key not in self._level_jits:
-                    self._level_jits[key] = jax.jit(
-                        functools.partial(_level_stage, plan=plan, o=o, i=i)
-                    )
-                sets.append(
-                    self._level_jits[key](
-                        dog[o * dl + i - 1], dog[o * dl + i],
-                        dog[o * dl + i + 1], gss[o * cfg.gss_levels + i],
-                    )
+            key = (shape, o)
+            if key not in self._octave_jits:
+                self._octave_jits[key] = jax.jit(
+                    functools.partial(_octave_stage, plan=plan, o=o)
                 )
+            sets.append(
+                self._octave_jits[key](
+                    tuple(dog[o * dl: (o + 1) * dl]),
+                    tuple(gss[o * gl + 1: o * gl + dl - 1]),
+                )
+            )
         return sets
 
     def extract(self, volume) -> KeypointSet:
-        """volume: (nz, ny, nx) array-like, any dtype castable to float32."""
+        """volume: (nz, ny, nx) array-like, any dtype castable to float32.
+
+        The returned KeypointSet is lane-sorted so valid keypoints form a
+        dense prefix (reference `filter` order)."""
         vol = jnp.asarray(volume, dtype=jnp.float32)
         shape = tuple(int(s) for s in vol.shape)
         plan = self.plan(shape)
         gss, dog = self._pyramids(vol, shape, plan)
-        sets = self._levels(gss, dog, shape, plan)
-        return self._merge_jit(sets)
+        sets = self._octaves(gss, dog, shape, plan)
+        return self._finalize_jit(sets)
 
 
-def compact_valid(kps: KeypointSet) -> KeypointSet:
-    """Gather valid keypoints into a dense power-of-2-bucketed KeypointSet.
+def compact_valid(kps: KeypointSet, warn_overflow: bool = True) -> KeypointSet:
+    """Slice the valid dense prefix into a power-of-2-bucketed KeypointSet.
 
     The extraction capacity arrays are mostly empty lanes; matching cost is
     quadratic in row count, so the matcher operates on the compacted sets.
-    Bucketing the dense size to the next power of two keeps recompilation
-    bounded. Relative order of valid keypoints is preserved (parity with
-    the reference's `filter` vector ordering).
+    extract() already sorts valid lanes to a dense prefix on device, so
+    compaction is one scalar fetch (the count) plus a static slice — the
+    bucket (next power of two) keeps recompilation bounded.
     """
-    valid = np.asarray(jax.device_get(kps.valid))
-    n = max(int(valid.sum()), 1)
+    import warnings
+
+    n, dropped = jax.device_get((kps.num_valid, kps.dropped_by_cap))
+    if warn_overflow and int(dropped) > 0:
+        warnings.warn(
+            f"keypoint capacity overflow: {int(dropped)} extrema dropped "
+            "by per-level caps; increase SiftConfig.max_kp_per_level",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    n = max(int(n), 1)
     bucket = 1 << (n - 1).bit_length()
-    idx = np.nonzero(valid)[0]
-    idx_pad = np.concatenate(
-        [idx, np.zeros(bucket - len(idx), dtype=idx.dtype)]
-    ).astype(np.int32)
-    take = jnp.asarray(idx_pad)
-    mask = jnp.asarray(np.arange(bucket) < len(idx))
-    return _compact_gather(kps, take, mask)
+    return _compact_slice(kps, min(bucket, kps.valid.shape[0]))
 
 
-@jax.jit
-def _compact_gather(kps: KeypointSet, take, mask) -> KeypointSet:
+@functools.partial(jax.jit, static_argnames=("bucket",))
+def _compact_slice(kps: KeypointSet, bucket: int) -> KeypointSet:
     return KeypointSet(
-        xyz=kps.xyz[take],
-        rxyz=kps.rxyz[take],
-        octave=kps.octave[take],
-        level=kps.level[take],
-        scale=kps.scale[take],
-        rotation=kps.rotation[take],
-        desc=jnp.where(mask[:, None], kps.desc[take], 0.0),
-        status=jnp.where(mask, kps.status[take], 0),
-        valid=mask,
-        counts=kps.counts,
+        *[getattr(kps, f) if f in ("counts", "caps") else getattr(kps, f)[:bucket]
+          for f in KeypointSet._fields]
     )
 
 
