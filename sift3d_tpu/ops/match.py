@@ -154,6 +154,78 @@ def match_coords(
     return ref_c, tar_c, result.valid
 
 
+def match_descriptors_timed(
+    ref_desc,
+    tar_desc,
+    ref_valid,
+    tar_valid,
+    threshold: float = 0.85,
+    mode: int = ENHANCED,
+    row_chunk: int = 1024,
+    timer=None,
+):
+    """match_descriptors with the reference's per-phase timing breakdown.
+
+    The reference times match / filter / countMatched / revMatch / revFilter
+    / bijectFilter separately (Include/cMatcher.h:60-67,
+    Src/cMatcher.cc:148-213). Each phase runs as its own blocked dispatch so
+    the wall-clock split is observable; results are identical to
+    match_descriptors. Returns (MatchResult, SiftTimer).
+    """
+    import jax as _jax
+
+    from ..utils.timing import SiftTimer
+
+    timer = timer or SiftTimer()
+    n, m = ref_desc.shape[0], tar_desc.shape[0]
+
+    top2_jit = jax.jit(functools.partial(top2_scores, row_chunk=row_chunk))
+    filter_jit = jax.jit(ratio_filter)
+
+    with timer.stage("match"):
+        fwd = top2_jit(ref_desc, tar_desc, ref_valid, tar_valid)
+        _jax.block_until_ready(fwd)
+    with timer.stage("filter"):
+        fwd_valid = filter_jit(fwd, threshold)
+        _jax.block_until_ready(fwd_valid)
+
+    if mode == INJECT:
+        result = MatchResult(
+            tar_idx=jnp.where(fwd_valid, fwd.i1, -1), valid=fwd_valid
+        )
+        return result, timer
+
+    count_thres = 0 if mode == BIJECT else 1
+
+    @jax.jit
+    def count_phase(fwd_i1, fwd_valid):
+        safe_i1 = jnp.where(fwd_valid, fwd_i1, m)
+        counts = jnp.zeros(m + 1, jnp.int32).at[safe_i1].add(1)[:m]
+        return counts > count_thres
+
+    with timer.stage("countMatched"):
+        tmask = count_phase(fwd.i1, fwd_valid)
+        _jax.block_until_ready(tmask)
+    with timer.stage("revMatch"):
+        rev = top2_jit(tar_desc, ref_desc, tar_valid & tmask, ref_valid)
+        _jax.block_until_ready(rev)
+    with timer.stage("revFilter"):
+        rev_valid = filter_jit(rev, threshold)
+        _jax.block_until_ready(rev_valid)
+
+    @jax.jit
+    def biject_phase(fwd_i1, fwd_valid, rev_i1, rev_valid, tmask):
+        rev_best = jnp.where(rev_valid, rev_i1, -1)
+        j = jnp.clip(fwd_i1, 0, m - 1)
+        keep = fwd_valid & (~tmask[j] | (rev_best[j] == jnp.arange(n)))
+        return MatchResult(tar_idx=jnp.where(keep, fwd_i1, -1), valid=keep)
+
+    with timer.stage("bijectFilter"):
+        result = biject_phase(fwd.i1, fwd_valid, rev.i1, rev_valid, tmask)
+        _jax.block_until_ready(result)
+    return result, timer
+
+
 def threshold_sweep(
     ref_desc, tar_desc, ref_valid, tar_valid, thresholds, mode: int = ENHANCED
 ):

@@ -278,6 +278,23 @@ class SIFT3D:
         sets = self._octaves(gss, dog, shape, plan)
         return self._finalize_jit(sets)
 
+    def process_pair(
+        self, ref_volume, tar_volume, threshold: float = 0.85,
+        mode: int = ENHANCED,
+    ):
+        """Full extract+extract+match with the reference's SIFT_PROCESS
+        timing bundle (Include/Util/common.h:43-59): per-stage extraction
+        timers for both volumes plus the matcher phase breakdown.
+
+        Returns ((ref_coords, tar_coords, valid), SiftProcessReport)."""
+        from .utils.timing import SiftProcessReport
+
+        report = SiftProcessReport()
+        ref_kps, report.ref = self.extract_timed(ref_volume)
+        tar_kps, report.tar = self.extract_timed(tar_volume)
+        out, report.match = match_timed(ref_kps, tar_kps, threshold, mode)
+        return out, report
+
 
 def compact_valid(kps: KeypointSet, warn_overflow: bool = True) -> KeypointSet:
     """Slice the valid dense prefix into a power-of-2-bucketed KeypointSet.
@@ -326,6 +343,35 @@ def enhanced_match(ref: KeypointSet, tar: KeypointSet, threshold: float = 0.85):
     Returns (ref_coords, tar_coords, valid): dense-bucketed (K, 3) arrays;
     compact with the mask for a dense pair list."""
     return _match(ref, tar, threshold, ENHANCED)
+
+
+def match_timed(
+    ref: KeypointSet,
+    tar: KeypointSet,
+    threshold: float = 0.85,
+    mode: int = ENHANCED,
+):
+    """Matching with the reference's per-phase timing report
+    (muBruteMatcher's match/filter/countMatched/revMatch/revFilter/
+    bijectFilter/converse counters, Include/cMatcher.h:60-67,
+    Src/cMatcher.cc:148-213). Returns ((ref_coords, tar_coords, valid),
+    SiftTimer); pair results are identical to the untimed matchers."""
+    from .ops.match import match_descriptors_timed
+    from .utils.timing import SiftTimer
+
+    timer = SiftTimer()
+    with timer.stage("compact"):
+        ref_c = compact_valid(ref)
+        tar_c = compact_valid(tar)
+        jax.block_until_ready((ref_c, tar_c))
+    res, timer = match_descriptors_timed(
+        ref_c.desc, tar_c.desc, ref_c.valid, tar_c.valid, threshold,
+        mode=mode, timer=timer,
+    )
+    with timer.stage("converse"):
+        out = match_coords(ref_c.rxyz, tar_c.rxyz, res)
+        jax.block_until_ready(out)
+    return out, timer
 
 
 def inject_match(ref: KeypointSet, tar: KeypointSet, threshold: float = 0.85):

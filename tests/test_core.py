@@ -177,3 +177,63 @@ def test_extract_timed_reports_stages():
     hist = rejection_histogram(kps)
     assert hist["accepted"] == int(kps.num_valid)
     assert hist["detected"] >= hist["accepted"]
+
+
+def test_capacity_overflow_flag_and_warning():
+    """VERDICT r1 item 8: library users must see capacity truncation.
+
+    dropped_by_cap counts extrema beyond per-level caps, and compact_valid
+    emits a RuntimeWarning when any were dropped (ops/detect.py keeps the
+    first `cap` in scan order; the reference grows unboundedly)."""
+    import warnings
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from sift3d_tpu import SIFT3D, SiftConfig
+    from sift3d_tpu.pipeline import compact_valid
+    from sift3d_tpu.oracle import fixtures
+
+    vol = fixtures.smooth_random_volume((32, 32, 32), seed=7, smooth=2)
+    tiny = SIFT3D(SiftConfig(max_kp_per_level=8, cap_floor=8))
+    kps = tiny.extract(vol)
+    assert int(kps.dropped_by_cap) > 0
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        compact_valid(kps)
+    assert any("overflow" in str(x.message) for x in w)
+
+    roomy = SIFT3D(SiftConfig(max_kp_per_level=512))
+    kps2 = roomy.extract(vol)
+    assert int(kps2.dropped_by_cap) == 0
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        compact_valid(kps2)
+    assert not any("overflow" in str(x.message) for x in w)
+
+
+def test_match_timed_matches_untimed():
+    """match_timed must produce identical pairs to enhanced_match and fill
+    the reference's matcher phase counters (cMatcher.h:60-67 parity)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from sift3d_tpu import SIFT3D, SiftConfig, enhanced_match
+    from sift3d_tpu.pipeline import match_timed
+    from sift3d_tpu.oracle import fixtures
+
+    ref_v = fixtures.smooth_random_volume((32, 32, 32), seed=7, smooth=2)
+    tar_v = fixtures.smooth_random_volume((32, 32, 32), seed=8, smooth=2)
+    sift = SIFT3D(SiftConfig(max_kp_per_level=256))
+    kr, kt = sift.extract(ref_v), sift.extract(tar_v)
+
+    rc0, tc0, v0 = enhanced_match(kr, kt, 0.85)
+    (rc1, tc1, v1), timer = match_timed(kr, kt, 0.85)
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+    np.testing.assert_array_equal(np.asarray(rc0), np.asarray(rc1))
+    np.testing.assert_array_equal(np.asarray(tc0), np.asarray(tc1))
+    for phase in ("match", "filter", "countMatched", "revMatch",
+                  "revFilter", "bijectFilter", "converse"):
+        assert phase in timer.stages, phase
