@@ -139,7 +139,11 @@ def _desc_one_block_pallas(
     gss_pad, bx, by, bz, rot, kp_ok, meta: LevelMeta, consts
 ):
     """Pallas-kernel variant of _desc_one_block (same outputs)."""
-    from .pallas.descriptor_kernel import TILE, descriptor_bins_pallas
+    from .pallas.descriptor_kernel import (
+        TILE,
+        descriptor_bins_pallas,
+        tile_z_ranges,
+    )
 
     (r_vox, win_radius, sigma, desc_hw, desc_bin_fctr, wshape) = consts
     nz, ny, nx = meta.shape
@@ -156,7 +160,9 @@ def _desc_one_block_pallas(
     gy = jnp.pad(gy.reshape(B, C), pad)
     gz = jnp.pad(gz.reshape(B, C), pad)
 
-    jzm, jym, jxm = (jnp.asarray(m) for m in _core_offset_maps(wshape, Cp))
+    maps_np = _core_offset_maps(wshape, Cp)
+    ztab = jnp.asarray(tile_z_ranges(maps_np[0]))
+    jzm, jym, jxm = (jnp.asarray(m) for m in maps_np)
 
     xs_lo, xs_hi = W.box_bounds(bx, r_vox, nx)
     ys_lo, ys_hi = W.box_bounds(by, r_vox, ny)
@@ -176,7 +182,7 @@ def _desc_one_block_pallas(
     )
     interpret = jax.default_backend() != "tpu"
     T = descriptor_bins_pallas(
-        gx, gy, gz, jzm, jym, jxm, kpi, kpok, rotT, consts_k,
+        gx, gy, gz, jzm, jym, jxm, ztab, kpi, kpok, rotT, consts_k,
         interpret=interpret,
     )
     desc = (

@@ -4,9 +4,9 @@ The XLA formulation of the per-voxel descriptor math (ops/descriptor.py)
 materialises ~60 intermediates per window voxel to HBM (measured 552ms
 device time for 412 keypoints at 128^3 level (0,1)); this kernel keeps the
 whole per-voxel chain — displacement, masks, Gaussian weight, eigenframe
-rotation, the 20-face Moller-Trumbore first-hit select, barycentric vertex
-weights, trilinear bin weights — in VMEM registers, and performs the
-768-bin accumulation as an in-kernel MXU contraction:
+rotation, icosahedral face select, barycentric vertex weights, trilinear
+bin weights — in VMEM registers, and performs the 768-bin accumulation as
+an in-kernel MXU contraction:
 
     desc[16, 48] += G(16, LANES) @ H(48, LANES)^T        per sublane row,
 
@@ -14,19 +14,35 @@ where G rows are the 16 (x, y) spatial-bin weights and H rows the 48 (z,
 vertex) weights, voxels on lanes. HBM traffic drops to the three gradient
 component streams plus per-keypoint scalars.
 
-Numerics match ops/descriptor.py bit-for-bit except where float op order
-differs (covered by the oracle parity tolerance); semantics replicated are
-those of Extract_Descriptor_Imp (reference Src/cSIFT3D.cc:1152-1573) —
-see ops/descriptor.py for the full catalogue of quirks.
+v3 (VPU op-count rewrite, ~2.4x over the first-hit formulation):
+- face select is argmax over the 20 outward face normals (5 ops/face)
+  with the winning face's Möller–Trumbore dot-constants selected in the
+  same pass, then ONE ratio evaluation — the equivalence the independent
+  CPU baseline uses (native/cpu_baseline.cc:454-485) in place of the
+  reference's 20-way first-hit loop (Src/cSIFT3D.cc:1542-1573). The two
+  agree except for directions within BARY_EPS of a face edge, where the
+  contribution difference is bounded by the ~0 barycentric weight of the
+  non-shared vertex.
+- G and H are built as Kronecker products of 4-row per-axis factors and a
+  12-row vertex factor instead of direct 16/48-row comparison builds.
+- whole (keypoint, tile) grid steps are skipped when the tile's z-range
+  cannot intersect the keypoint's clamped box / sphere z-extent, or the
+  keypoint lane is not accepted (trailing lanes of the last block).
 
-Grid: (B keypoints, T voxel tiles); each tile is (8, LANE) voxels. Per-tile
-integer coordinate maps are precomputed on host (shared by every keypoint
-of a level) so the kernel does no div/mod.
+Numerics match ops/descriptor.py except where float op order differs
+(covered by the oracle parity tolerance); semantics replicated are those of
+Extract_Descriptor_Imp (reference Src/cSIFT3D.cc:1152-1573) — see
+ops/descriptor.py for the full catalogue of quirks.
+
+Grid: (B keypoints, T voxel tiles); each tile is (SUB, LANE) voxels. Per-
+tile integer coordinate maps are precomputed on host (shared by every
+keypoint of a level) so the kernel does no div/mod.
 """
 
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -35,7 +51,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...config import BARY_EPS
-from ...geometry import MESH_CONST, TRI_IDX
+from ...geometry import ARGMAX_CONST, TRI_IDX
 
 SUB = 32      # sublane rows per tile (amortises per-grid-step overhead)
 LANE = 512    # lanes per tile
@@ -46,11 +62,13 @@ def _kernel(
     kpi_ref,   # scalar-prefetch: (B, 12) int32 [sz sy sx cx cy cz xlo xhi ylo yhi zlo zhi]
     kpok_ref,  # scalar-prefetch: (B,) int32 accepted flag
     rot_ref,   # scalar-prefetch: (B, 16) f32: R^T row-major (9 used)
+    ztab_ref,  # scalar-prefetch: (nt, 2) int32 per-tile [zmin zmax] core offsets
     gx_ref, gy_ref, gz_ref,          # (1, 1, SUB, LANE) f32 gradient tiles
     jz_ref, jy_ref, jx_ref,          # (1, SUB, LANE) int32 core-offset maps
     out_ref,                         # (1, 16, 48) f32 accumulator
     *,
     nt: int,
+    rz: int,
     unit: float,
     win_radius: float,
     sigma: float,
@@ -65,9 +83,6 @@ def _kernel(
         out_ref[0] = jnp.zeros((16, 48), jnp.float32)
 
     f32 = jnp.float32
-    u = f32(unit)
-    r2 = f32(win_radius) * f32(win_radius)
-    sigma2 = f32(sigma) * f32(sigma)
 
     # per-keypoint scalars
     sz = kpi_ref[b, 0]
@@ -84,146 +99,174 @@ def _kernel(
     zhi = kpi_ref[b, 11]
     ok = kpok_ref[b]
 
-    # absolute voxel coordinates of this tile
-    az = jz_ref[0] + sz            # (SUB, LANE) int32
-    ay = jy_ref[0] + sy
-    ax = jx_ref[0] + sx
-
-    in_box = (
-        (ax >= xlo) & (ax <= xhi)
-        & (ay >= ylo) & (ay <= yhi)
-        & (az >= zlo) & (az <= zhi)
-        & (ok > 0)
+    # Skip the whole grid step when this tile's z-slab cannot contribute:
+    # outside the clamped box z-range, outside the sphere's z-extent
+    # (|az - cz| <= ceil(r_vox), conservative), or an unaccepted lane.
+    z_lo_eff = jnp.maximum(zlo, cz - rz)
+    z_hi_eff = jnp.minimum(zhi, cz + rz)
+    live = (
+        (ok > 0)
+        & (ztab_ref[t, 0] + sz <= z_hi_eff)
+        & (ztab_ref[t, 1] + sz >= z_lo_eff)
     )
 
-    dx = (ax.astype(f32) - cx.astype(f32)) * u
-    dy = (ay.astype(f32) - cy.astype(f32)) * u
-    dz = (az.astype(f32) - cz.astype(f32)) * u
-    sq = dx * dx + dy * dy + dz * dz
-    inside = in_box & (sq <= r2)
+    @pl.when(live)
+    def _body():
+        u = f32(unit)
+        r2 = f32(win_radius) * f32(win_radius)
+        sigma2 = f32(sigma) * f32(sigma)
 
-    R = [rot_ref[b, k] for k in range(9)]  # R^T row-major
+        # absolute voxel coordinates of this tile
+        az = jz_ref[0] + sz            # (SUB, LANE) int32
+        ay = jy_ref[0] + sy
+        ax = jx_ref[0] + sx
 
-    vrx = R[0] * dx + R[1] * dy + R[2] * dz
-    vry = R[3] * dx + R[4] * dy + R[5] * dz
-    vrz = R[6] * dx + R[7] * dy + R[8] * dz
+        in_box = (
+            (ax >= xlo) & (ax <= xhi)
+            & (ay >= ylo) & (ay <= yhi)
+            & (az >= zlo) & (az <= zhi)
+        )
 
-    vbx = (vrx + f32(desc_hw)) * f32(desc_bin_fctr) - f32(0.5)
-    vby = (vry + f32(desc_hw)) * f32(desc_bin_fctr) - f32(0.5)
-    vbz = (vrz + f32(desc_hw)) * f32(desc_bin_fctr) - f32(0.5)
-    bins_ok = (
-        (vbx > -0.5) & (vbx < 3.5)
-        & (vby > -0.5) & (vby < 3.5)
-        & (vbz > -0.5) & (vbz < 3.5)
-    )
+        dx = (ax.astype(f32) - cx.astype(f32)) * u
+        dy = (ay.astype(f32) - cy.astype(f32)) * u
+        dz = (az.astype(f32) - cz.astype(f32)) * u
+        sq = dx * dx + dy * dy + dz * dz
+        inside = in_box & (sq <= r2)
 
-    w = jnp.exp(f32(-0.5) * sq / sigma2)
-    gvx = gx_ref[0, 0] * w
-    gvy = gy_ref[0, 0] * w
-    gvz = gz_ref[0, 0] * w
+        R = [rot_ref[b, k] for k in range(9)]  # R^T row-major
 
-    grx = R[0] * gvx + R[1] * gvy + R[2] * gvz
-    gry = R[3] * gvx + R[4] * gvy + R[5] * gvz
-    grz = R[6] * gvx + R[7] * gvy + R[8] * gvz
+        vrx = R[0] * dx + R[1] * dy + R[2] * dz
+        vry = R[3] * dx + R[4] * dy + R[5] * dz
+        vrz = R[6] * dx + R[7] * dy + R[8] * dz
 
-    # --- 20-face first-hit select (Check_intersect_faces) ----------------
-    e1 = MESH_CONST["e1"]
-    e2 = MESH_CONST["e2"]
-    tt = MESH_CONST["t"]
-    qq = MESH_CONST["q"]
-    qe2 = np.sum(qq * e2, axis=-1)
+        vbx = (vrx + f32(desc_hw)) * f32(desc_bin_fctr) - f32(0.5)
+        vby = (vry + f32(desc_hw)) * f32(desc_bin_fctr) - f32(0.5)
+        vbz = (vrz + f32(desc_hw)) * f32(desc_bin_fctr) - f32(0.5)
+        bins_ok = (
+            (vbx > -0.5) & (vbx < 3.5)
+            & (vby > -0.5) & (vby < 3.5)
+            & (vbz > -0.5) & (vbz < 3.5)
+        )
 
-    g2 = grx * grx + gry * gry + grz * grz
-    nondeg = g2 >= f32(BARY_EPS)
+        w = jnp.exp(f32(-0.5) * sq / sigma2)
+        gvx = gx_ref[0, 0] * w
+        gvy = gy_ref[0, 0] * w
+        gvz = gz_ref[0, 0] * w
 
-    found = jnp.zeros_like(grx, dtype=jnp.bool_)
-    bx_ = jnp.zeros_like(grx)
-    by_ = jnp.zeros_like(grx)
-    bz_ = jnp.zeros_like(grx)
-    vid0 = jnp.zeros_like(az)
-    vid1 = jnp.zeros_like(az)
-    vid2 = jnp.zeros_like(az)
+        grx = R[0] * gvx + R[1] * gvy + R[2] * gvz
+        gry = R[3] * gvx + R[4] * gvy + R[5] * gvz
+        grz = R[6] * gvx + R[7] * gvy + R[8] * gvz
 
-    for i in range(20):
-        E1x, E1y, E1z = (f32(v) for v in e1[i])
-        E2x, E2y, E2z = (f32(v) for v in e2[i])
-        Tx, Ty, Tz = (f32(v) for v in tt[i])
-        Qx, Qy, Qz = (f32(v) for v in qq[i])
-        # p = grad x e2
-        px = gry * E2z - grz * E2y
-        py = grz * E2x - grx * E2z
-        pz = grx * E2y - gry * E2x
-        det = E1x * px + E1y * py + E1z * pz
+        g2 = grx * grx + gry * gry + grz * grz
+        nondeg = g2 >= f32(BARY_EPS)
+
+        # --- argmax-normal face select with fused constant selection -----
+        NRM = ARGMAX_CONST["normals"]
+        CDET = ARGMAX_CONST["c_det"]
+        CBY = ARGMAX_CONST["c_by"]
+        CBZ = ARGMAX_CONST["c_bz"]
+        QE2 = ARGMAX_CONST["qe2"]
+
+        def ndot(i):
+            return (
+                f32(NRM[i, 0]) * grx
+                + f32(NRM[i, 1]) * gry
+                + f32(NRM[i, 2]) * grz
+            )
+
+        best = ndot(0)
+        cd = [jnp.full_like(grx, CDET[0, k]) for k in range(3)]
+        cb = [jnp.full_like(grx, CBY[0, k]) for k in range(3)]
+        cq = [jnp.full_like(grx, CBZ[0, k]) for k in range(3)]
+        qe2s = jnp.full_like(grx, QE2[0])
+        vid0 = jnp.full_like(az, TRI_IDX[0][0])
+        vid1 = jnp.full_like(az, TRI_IDX[0][1])
+        vid2 = jnp.full_like(az, TRI_IDX[0][2])
+        for i in range(1, 20):
+            d = ndot(i)
+            upd = d > best  # strict: earlier face wins ties (cpu_baseline.cc:460)
+            best = jnp.where(upd, d, best)
+            for k in range(3):
+                cd[k] = jnp.where(upd, f32(CDET[i, k]), cd[k])
+                cb[k] = jnp.where(upd, f32(CBY[i, k]), cb[k])
+                cq[k] = jnp.where(upd, f32(CBZ[i, k]), cq[k])
+            qe2s = jnp.where(upd, f32(QE2[i]), qe2s)
+            vid0 = jnp.where(upd, TRI_IDX[i][0], vid0)
+            vid1 = jnp.where(upd, TRI_IDX[i][1], vid1)
+            vid2 = jnp.where(upd, TRI_IDX[i][2], vid2)
+
+        det = cd[0] * grx + cd[1] * gry + cd[2] * grz
         det_ok = jnp.abs(det) >= f32(BARY_EPS)
         det_inv = f32(1.0) / jnp.where(det_ok, det, f32(1.0))
-        byv = det_inv * (px * Tx + py * Ty + pz * Tz)
-        bzv = det_inv * (grx * Qx + gry * Qy + grz * Qz)
-        bxv = f32(1.0) - byv - bzv
-        kv = det_inv * f32(qe2[i])
-        okf = (
+        by_ = det_inv * (cb[0] * grx + cb[1] * gry + cb[2] * grz)
+        bz_ = det_inv * (cq[0] * grx + cq[1] * gry + cq[2] * grz)
+        bx_ = f32(1.0) - by_ - bz_
+        kv = det_inv * qe2s
+        found = (
             nondeg & det_ok
-            & (bxv >= f32(-BARY_EPS)) & (byv >= f32(-BARY_EPS))
-            & (bzv >= f32(-BARY_EPS)) & (kv >= 0)
-        )
-        new = okf & ~found
-        bx_ = jnp.where(new, bxv, bx_)
-        by_ = jnp.where(new, byv, by_)
-        bz_ = jnp.where(new, bzv, bz_)
-        vid0 = jnp.where(new, TRI_IDX[i][0], vid0)
-        vid1 = jnp.where(new, TRI_IDX[i][1], vid1)
-        vid2 = jnp.where(new, TRI_IDX[i][2], vid2)
-        found = found | okf
-
-    mag = jnp.sqrt(g2)
-    contrib = inside & bins_ok & found
-    val = jnp.where(contrib, mag, f32(0.0))
-
-    # spatial bin bases: trunc-toward-zero base, floor-based fraction
-    basex = vbx.astype(jnp.int32)
-    basey = vby.astype(jnp.int32)
-    basez = vbz.astype(jnp.int32)
-    fracx = vbx - jnp.floor(vbx)
-    fracy = vby - jnp.floor(vby)
-    fracz = vbz - jnp.floor(vbz)
-
-    # --- accumulate: per sublane row, build G(16, LANE), H(48, LANE) ------
-    # G row g = (x, y) bin pair with g = x*4 + y; H row h = (z, vert) with
-    # h = z*12 + vert — matching the XLA layout in ops/descriptor.py.
-    gxi = jax.lax.broadcasted_iota(jnp.int32, (16, LANE), 0) // 4
-    gyi = jax.lax.broadcasted_iota(jnp.int32, (16, LANE), 0) % 4
-    hzi = jax.lax.broadcasted_iota(jnp.int32, (48, LANE), 0) // 12
-    hvi = jax.lax.broadcasted_iota(jnp.int32, (48, LANE), 0) % 12
-
-    acc = jnp.zeros((16, 48), jnp.float32)
-    for s in range(SUB):
-        def row(a):
-            return a[s : s + 1, :]  # (1, LANE)
-
-        bxs, bys, bzs = row(basex), row(basey), row(basez)
-        fxs, fys, fzs = row(fracx), row(fracy), row(fracz)
-        G = (
-            (gxi == bxs).astype(jnp.float32) * (f32(1.0) - fxs)
-            + (gxi == bxs + 1).astype(jnp.float32) * fxs
-        ) * (
-            (gyi == bys).astype(jnp.float32) * (f32(1.0) - fys)
-            + (gyi == bys + 1).astype(jnp.float32) * fys
-        )
-        vals = row(val)
-        H = (
-            (hzi == bzs).astype(jnp.float32) * (f32(1.0) - fzs)
-            + (hzi == bzs + 1).astype(jnp.float32) * fzs
-        ) * (
-            (hvi == row(vid0)).astype(jnp.float32) * row(bx_)
-            + (hvi == row(vid1)).astype(jnp.float32) * row(by_)
-            + (hvi == row(vid2)).astype(jnp.float32) * row(bz_)
-        ) * vals
-        acc = acc + jax.lax.dot_general(
-            G, H, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            & (bx_ >= f32(-BARY_EPS)) & (by_ >= f32(-BARY_EPS))
+            & (bz_ >= f32(-BARY_EPS)) & (kv >= 0)
         )
 
-    out_ref[0] = out_ref[0] + acc
+        mag = jnp.sqrt(g2)
+        contrib = inside & bins_ok & found
+        val = jnp.where(contrib, mag, f32(0.0))
+
+        # spatial bin bases: trunc-toward-zero base, floor-based fraction
+        basex = vbx.astype(jnp.int32)
+        basey = vby.astype(jnp.int32)
+        basez = vbz.astype(jnp.int32)
+        fracx = vbx - jnp.floor(vbx)
+        fracy = vby - jnp.floor(vby)
+        fracz = vbz - jnp.floor(vbz)
+
+        # --- accumulate: per sublane row, G/H as Kronecker factors --------
+        # G row g = (x, y) bin pair with g = x*4 + y; H row h = (z, vert)
+        # with h = z*12 + vert — matching the XLA layout in ops/descriptor.py.
+        i4 = jax.lax.broadcasted_iota(jnp.int32, (4, LANE), 0)
+        i12 = jax.lax.broadcasted_iota(jnp.int32, (12, LANE), 0)
+
+        def axis_factor(base_row, frac_row):
+            return (
+                (i4 == base_row).astype(f32) * (f32(1.0) - frac_row)
+                + (i4 == base_row + 1).astype(f32) * frac_row
+            )  # (4, LANE)
+
+        acc = jnp.zeros((16, 48), jnp.float32)
+        for s in range(SUB):
+            def row(a):
+                return a[s : s + 1, :]  # (1, LANE)
+
+            X = axis_factor(row(basex), row(fracx))
+            Y = axis_factor(row(basey), row(fracy))
+            Z = axis_factor(row(basez), row(fracz))
+            V = (
+                (i12 == row(vid0)).astype(f32) * row(bx_)
+                + (i12 == row(vid1)).astype(f32) * row(by_)
+                + (i12 == row(vid2)).astype(f32) * row(bz_)
+            ) * row(val)  # (12, LANE)
+            G = jnp.concatenate([X[k : k + 1] * Y for k in range(4)], axis=0)
+            H = jnp.concatenate([Z[k : k + 1] * V for k in range(4)], axis=0)
+            acc = acc + jax.lax.dot_general(
+                G, H, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        out_ref[0] = out_ref[0] + acc
+
+
+def tile_z_ranges(jzm_np: np.ndarray) -> np.ndarray:
+    """(nt, 2) int32 [zmin, zmax] of real (non-sentinel) core z-offsets per
+    voxel tile, for the kernel's slab-skip test. Sentinel-padded lanes
+    (offset >= 2^19) are excluded; an all-sentinel tile gets an empty range
+    that can never intersect a box."""
+    nt = jzm_np.size // TILE
+    jz = jzm_np.reshape(nt, TILE)
+    real = jz < (1 << 19)
+    zmin = np.where(real, jz, np.int32(1 << 20)).min(axis=1)
+    zmax = np.where(real, jz, np.int32(-1)).max(axis=1)
+    return np.stack([zmin, zmax], axis=1).astype(np.int32)
 
 
 @functools.partial(
@@ -233,6 +276,7 @@ def _kernel(
 def descriptor_bins_pallas(
     gx, gy, gz,          # (B, C) f32 gradients (C padded to TILE multiple)
     jzm, jym, jxm,       # (C,) int32 core-offset maps
+    ztab,                # (C // TILE, 2) int32 per-tile [zmin zmax] (tile_z_ranges)
     kpi,                 # (B, 12) int32 per-kp ints
     kpok,                # (B,) int32
     rotT,                # (B, 16) f32 (R^T row-major, padded)
@@ -244,10 +288,12 @@ def descriptor_bins_pallas(
     assert C % TILE == 0
     nt = C // TILE
     unit, win_radius, sigma, desc_hw, desc_bin_fctr = consts
+    rz = int(math.ceil(win_radius / unit)) + 1
 
     kernel = functools.partial(
         _kernel,
         nt=nt,
+        rz=rz,
         unit=unit,
         win_radius=win_radius,
         sigma=sigma,
@@ -268,7 +314,7 @@ def descriptor_bins_pallas(
         )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(B, nt),
         in_specs=[
             g_spec(), g_spec(), g_spec(),
@@ -287,7 +333,7 @@ def descriptor_bins_pallas(
         out_shape=jax.ShapeDtypeStruct((B, 16, 48), jnp.float32),
         interpret=interpret,
     )(
-        kpi, kpok, rotT,
+        kpi, kpok, rotT, ztab,
         gx.reshape(shape4), gy.reshape(shape4), gz.reshape(shape4),
         jzm.reshape(shape3), jym.reshape(shape3), jxm.reshape(shape3),
     )
