@@ -17,6 +17,12 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running test (multi-process, large volumes)"
+    )
+
 from sift3d_tpu.oracle import cpu_sift, fixtures  # noqa: E402
 
 
