@@ -307,7 +307,7 @@ def compact_valid(kps: KeypointSet, warn_overflow: bool = True) -> KeypointSet:
     """
     import warnings
 
-    n, dropped = jax.device_get((kps.num_valid, kps.dropped_by_cap))
+    n, dropped = jax.device_get(_counts_jit(kps))
     if warn_overflow and int(dropped) > 0:
         warnings.warn(
             f"keypoint capacity overflow: {int(dropped)} extrema dropped "
@@ -318,6 +318,13 @@ def compact_valid(kps: KeypointSet, warn_overflow: bool = True) -> KeypointSet:
     n = max(int(n), 1)
     bucket = 1 << (n - 1).bit_length()
     return _compact_slice(kps, min(bucket, kps.valid.shape[0]))
+
+
+@jax.jit
+def _counts_jit(kps: KeypointSet):
+    """One fused dispatch for the two host-side compaction scalars (the
+    eager property reductions each cost a dispatch + sync on the tunnel)."""
+    return kps.num_valid, kps.dropped_by_cap
 
 
 @functools.partial(jax.jit, static_argnames=("bucket",))
