@@ -20,7 +20,13 @@ from pathlib import Path
 
 
 def parse_xspace(trace_dir: str):
-    """Aggregate device-time (ps) per HLO op name from the xplane.pb."""
+    """Aggregate device-time (ps) per HLO op name from the xplane.pb.
+
+    Caveat: per-op sums double-count nested events (a `while` op's duration
+    includes the ops executed inside its body, async copy-starts span
+    overlapping compute), so `device_total` — the honest device busy time —
+    is the UNION of event intervals, not the sum of durations.
+    """
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     paths = glob.glob(
@@ -34,7 +40,7 @@ def parse_xspace(trace_dir: str):
 
     totals = defaultdict(int)  # name -> ps
     counts = defaultdict(int)
-    device_total = 0
+    intervals = []
     for plane in xspace.planes:
         if "TPU" not in plane.name or "XLA" in plane.name:
             continue
@@ -47,7 +53,22 @@ def parse_xspace(trace_dir: str):
                 meta = plane.event_metadata[ev.metadata_id]
                 totals[meta.name] += ev.duration_ps
                 counts[meta.name] += 1
-                device_total += ev.duration_ps
+                intervals.append(
+                    (ev.offset_ps, ev.offset_ps + ev.duration_ps)
+                )
+    # busy time = union of (possibly nested/overlapping) intervals
+    intervals.sort()
+    device_total = 0
+    cur_s = cur_e = None
+    for s, e in intervals:
+        if cur_e is None or s > cur_e:
+            if cur_e is not None:
+                device_total += cur_e - cur_s
+            cur_s, cur_e = s, e
+        else:
+            cur_e = max(cur_e, e)
+    if cur_e is not None:
+        device_total += cur_e - cur_s
     return totals, counts, device_total
 
 

@@ -53,7 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ...config import BARY_EPS
 from ...geometry import ARGMAX_CONST, TRI_IDX
 
-SUB = 32      # sublane rows per tile (amortises per-grid-step overhead)
+SUB = 64      # sublane rows per tile (amortises per-grid-step overhead)
 LANE = 512    # lanes per tile
 TILE = SUB * LANE
 
