@@ -136,7 +136,7 @@ def _core_offset_maps(wshape, cp):
 
 
 def _desc_one_block_pallas(
-    gss_pad, bx, by, bz, rot, kp_ok, meta: LevelMeta, consts
+    gss_pad, bx, by, bz, rot, kp_ok, meta: LevelMeta, consts, z_off=0
 ):
     """Pallas-kernel variant of _desc_one_block (same outputs)."""
     from .pallas.descriptor_kernel import (
@@ -153,7 +153,9 @@ def _desc_one_block_pallas(
     C = (Wz - 2) * (Wy - 2) * (Wx - 2)
     Cp = -(-C // TILE) * TILE
 
-    wins, starts = W.gather_windows(gss_pad, bx, by, bz, wshape)
+    wins, starts = W.gather_windows(
+        gss_pad, bx, by, bz, wshape, z_off=z_off, nzp=nz + 2
+    )
     gx, gy, gz = W.central_gradients(wins, unit)
     pad = ((0, 0), (0, Cp - C))
     gx = jnp.pad(gx.reshape(B, C), pad)
@@ -194,7 +196,7 @@ def _desc_one_block_pallas(
 
 
 def _desc_one_block(
-    gss_pad, bx, by, bz, rot, kp_ok, meta: LevelMeta, consts
+    gss_pad, bx, by, bz, rot, kp_ok, meta: LevelMeta, consts, z_off=0
 ):
     """Descriptors for one block of keypoints. rot: (B, 3, 3) (columns
     [v1 v2 vr]); the reference transposes it before use
@@ -206,7 +208,9 @@ def _desc_one_block(
     Wz, Wy, Wx = wshape
     C = (Wz - 2) * (Wy - 2) * (Wx - 2)
 
-    wins, starts = W.gather_windows(gss_pad, bx, by, bz, wshape)
+    wins, starts = W.gather_windows(
+        gss_pad, bx, by, bz, wshape, z_off=z_off, nzp=nz + 2
+    )
     az, ay, ax = W.core_coords(starts, wshape)
     gx, gy, gz = W.central_gradients(wins, unit)
 
@@ -299,11 +303,13 @@ def extract_descriptors(
     accepted: jnp.ndarray,
     meta: LevelMeta,
     cfg: SiftConfig,
+    z_off=0,
 ) -> DescriptorResult:
     """Descriptor stage for one pyramid level.
 
     det: level detections (cap); rot: (cap, 3, 3); accepted: (cap,) bool —
-    keypoints that survived orientation.
+    keypoints that survived orientation. `z_off`: slab offset when gss_pad
+    is a halo-extended local z-slab (multi-chip path); 0 single-chip.
     """
     scale32 = np.float32(meta.scale)
     sigma = float(np.float32(scale32 * np.float32(DESC_SIG_FCTR)))
@@ -343,7 +349,8 @@ def extract_descriptors(
         i, acc = state
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i * block, block)
         d = block_fn(
-            gss_pad, sl(xs), sl(ys), sl(zs), sl(rots), sl(oks), meta, consts
+            gss_pad, sl(xs), sl(ys), sl(zs), sl(rots), sl(oks), meta, consts,
+            z_off,
         )
         acc = jax.lax.dynamic_update_slice(acc, d, (i * block, 0))
         return i + 1, acc

@@ -88,7 +88,10 @@ def compact(mask: jnp.ndarray, cap: int, threshold: jnp.ndarray,
             from .pallas.compact_kernel import CTILE, compact_mask_pallas
 
             npad = -(-n // CTILE) * CTILE
-            raw = compact_mask_pallas(jnp.pad(flat, (0, npad - n)), cap)
+            raw = compact_mask_pallas(
+                jnp.pad(flat, (0, npad - n)), cap,
+                interpret=jax.default_backend() != "tpu",
+            )
             lanes = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)[:, 0]
             return jnp.where(lanes < count, raw, -1)
         pos = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]

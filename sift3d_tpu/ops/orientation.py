@@ -41,11 +41,13 @@ def _window_stats(
     sigma_phys: float,
     wshape: tuple[int, int, int],
     cfg: SiftConfig,
+    z_off=0,
 ):
     """Structure tensor (cap, 6) + mean gradient (cap, 3), chunked over
     keypoints so only kp_block windows are live at once."""
     kp_block = cfg.kp_block
     nz, ny, nx = meta.shape
+    nzp = nz + 2  # global padded z-extent (gss_pad may be a local slab)
     unit = meta.unit
     cap = det.x.shape[0]
     nblocks = -(-cap // kp_block)
@@ -61,7 +63,9 @@ def _window_stats(
 
     def block(args):
         bx, by, bz = args
-        wins, starts = W.gather_windows(gss_pad, bx, by, bz, wshape)
+        wins, starts = W.gather_windows(
+            gss_pad, bx, by, bz, wshape, z_off=z_off, nzp=nzp
+        )
         az, ay, ax = W.core_coords(starts, wshape)
         gx, gy, gz = W.central_gradients(wins, unit)
 
@@ -113,7 +117,9 @@ def _window_stats(
         C = (Wz - 2) * (Wy - 2) * (Wx - 2)
         Cp = -(-C // TILE) * TILE
 
-        wins, starts = W.gather_windows(gss_pad, bx, by, bz, wshape)
+        wins, starts = W.gather_windows(
+            gss_pad, bx, by, bz, wshape, z_off=z_off, nzp=nzp
+        )
         gx, gy, gz = W.central_gradients(wins, unit)
         padc = ((0, 0), (0, Cp - C))
         gx = jnp.pad(gx.reshape(B, C), padc)
@@ -183,8 +189,12 @@ def assign_orientation(
     det: LevelDetections,
     meta: LevelMeta,
     cfg: SiftConfig,
+    z_off=0,
 ) -> OrientationResult:
-    """Full orientation stage for one pyramid level."""
+    """Full orientation stage for one pyramid level.
+
+    `z_off`: z-slab offset when `gss_pad` is a halo-extended local slab of
+    the level (multi-chip shard_map path); 0 on a single chip."""
     import numpy as np
 
     scale32 = np.float32(meta.scale)
@@ -196,7 +206,7 @@ def assign_orientation(
     )  # (Wz, Wy, Wx) against padded dims
 
     st_packed, mg = _window_stats(
-        gss_pad, det, meta, r_vox, win_radius, sigma, wsz, cfg
+        gss_pad, det, meta, r_vox, win_radius, sigma, wsz, cfg, z_off=z_off
     )
     st = _sym_from_packed(st_packed)
 

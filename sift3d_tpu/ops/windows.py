@@ -44,6 +44,8 @@ def gather_windows(
     ys: jnp.ndarray,
     zs: jnp.ndarray,
     wshape: tuple[int, int, int],
+    z_off=0,
+    nzp: int | None = None,
 ):
     """Gather (B, Wz, Wy, Wx) windows centred on integer keypoint coords.
 
@@ -51,9 +53,18 @@ def gather_windows(
     Returns (windows, (sz, sy, sx)) where s* are the *padded* slice starts,
     so a core voxel at window index j (axis offset after trimming the
     gradient margin) has unpadded coordinate s + j.
+
+    Multi-chip z-slab mode: `vol_padded` may instead be a halo-extended
+    local slab whose row `zp - z_off` holds the GLOBAL padded row `zp`
+    (parallel/sharded_pallas.py). Coords stay global; pass the global padded
+    z-extent as `nzp` so the start clamp is identical to the single-chip
+    gather, and the slab's halo must cover every clamped window of its own
+    keypoints. `z_off` may be a traced scalar.
     """
     Wz, Wy, Wx = wshape
-    nzp, nyp, nxp = vol_padded.shape
+    nzp_local, nyp, nxp = vol_padded.shape
+    if nzp is None:
+        nzp = nzp_local
 
     def start(c, W, npad):
         rm = (W - 1) // 2
@@ -64,7 +75,9 @@ def gather_windows(
     sx = start(xs, Wx, nxp)
 
     def one(s0, s1, s2):
-        return jax.lax.dynamic_slice(vol_padded, (s0, s1, s2), (Wz, Wy, Wx))
+        return jax.lax.dynamic_slice(
+            vol_padded, (s0 - z_off, s1, s2), (Wz, Wy, Wx)
+        )
 
     wins = jax.vmap(one)(sz, sy, sx)
     return wins, (sz, sy, sx)

@@ -42,6 +42,7 @@ def exchange_halo(block: jnp.ndarray, halo: int, axis_name: str = BLOCK_AXIS):
     hi = jnp.zeros((halo,) + block.shape[1:], block.dtype)
 
     hops = -(-halo // nz_local)
+    tie = None  # chains the ppermutes into a total order (see below)
     for h in range(1, hops + 1):
         # slab from neighbour at distance h below (towards index 0)
         depth = min(nz_local, halo - (h - 1) * nz_local)
@@ -49,14 +50,22 @@ def exchange_halo(block: jnp.ndarray, halo: int, axis_name: str = BLOCK_AXIS):
         up_send = block[-depth:] if depth < nz_local else block
         down_send = block[:depth] if depth < nz_local else block
 
+        # Serialize the permutes with value-preserving barriers: XLA's CPU
+        # thunk executor may start independent collectives in different
+        # orders on different devices and deadlock the rendezvous; a fixed
+        # total order costs nothing on the TPU stream.
+        if tie is not None:
+            up_send, _ = jax.lax.optimization_barrier((up_send, tie))
         # send up: device i -> i+h  (receives from i-h): provides lo halo
         recv_lo = jax.lax.ppermute(
             up_send, axis_name, [(i, i + h) for i in range(n - h)]
         )
+        down_send, _ = jax.lax.optimization_barrier((down_send, recv_lo))
         # send down: device i -> i-h (receives from i+h): provides hi halo
         recv_hi = jax.lax.ppermute(
             down_send, axis_name, [(i, i - h) for i in range(h, n)]
         )
+        tie = recv_hi
         have_lo = idx >= h
         have_hi = idx < n - h
         recv_lo = jnp.where(have_lo, recv_lo, 0.0)

@@ -1,0 +1,433 @@
+"""Multi-chip sharded extraction with the single-chip Pallas kernels.
+
+The GSPMD path (parallel/sharded.py) must force the slow XLA keypoint-stage
+formulations because the SPMD partitioner cannot split a pallas_call. This
+module removes that limitation the shard_map way: every pyramid level is a
+z-slab per device, halos are exchanged explicitly with ppermute
+(parallel/halo.py), and each device runs the *unmodified single-chip Pallas
+kernels* on its halo-extended local slab.
+
+Execution is staged into three kinds of jit programs per volume, mirroring
+the single-chip pipeline's per-octave staging (pipeline.py):
+
+1. `pyramids`   — halo-blur GSS + DoG (ppermute collectives, cheap compute);
+2. `extend(o)`  — per sharded octave: the detection thresholds (`pmax` of
+   max|DoG|) and the halo-extended slabs each level stage needs (ppermute);
+3. `levels(o)`  — per octave: detection + orientation + descriptors inside
+   shard_map with NO collectives at all — each device works on its own
+   extended slab with global keypoint coordinates (ops/windows.py `z_off`);
+4. `merge`      — chained manual all_gather of every keypoint lane array,
+   then the standard merge/sort (replicated, collective-free).
+
+Why the split matters: collectives and heavy compute must not interleave
+inside one module. XLA's CPU thunk executor runs independent thunks
+concurrently and its collective rendezvous hard-times-out after 40 s, so a
+device grinding through a descriptor stage while others sit in a ppermute
+kills the 8-virtual-device test environment; on real hardware the split
+additionally keeps module sizes small (compile time) and matches the
+persistent-cache staging of the single-chip path. All collectives inside one
+module are totally ordered with value-preserving optimization_barriers
+(see parallel/halo.py).
+
+Keypoint semantics: each device keeps the keypoints whose extremum voxel
+lies in its own z-slab (per-shard capacity cap_for_octave(o)/n, floor 128).
+The merged lane order — (octave, level), then shard, then scan — equals the
+single-chip (octave, level, scan) order, so downstream matching results are
+identical to `SIFT3D.extract` (tests/test_sharded.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import (
+    DESC_RAD_FCTR,
+    DESC_SIG_FCTR,
+    ORI_RAD_FCTR,
+    ORI_SIG_FCTR,
+    SiftConfig,
+)
+from ..ops import detect as D
+from ..ops import gaussian as G
+from ..ops import windows as W
+from ..ops.match import ENHANCED, match_coords, match_descriptors
+from ..pipeline import (
+    KeypointSet,
+    _level_stage,
+    _orient_describe,
+    merge_sets,
+    sort_valid_first,
+)
+from ..pyramid import PyramidPlan, make_plan
+from .halo import exchange_halo, sharded_gaussian_blur
+from .mesh import BLOCK_AXIS
+
+
+def _window_zextent(meta, sig_fctr: float, rad_fctr: float) -> int:
+    """Static z window size for one stage at one level (the same float32
+    chain as ops/orientation.py:190-196 and ops/descriptor.py:308-315)."""
+    scale32 = np.float32(meta.scale)
+    sigma = float(np.float32(np.float32(sig_fctr) * scale32))
+    win_radius = float(np.float32(np.float32(sigma) * np.float32(rad_fctr)))
+    r_vox = W.radius_voxels(win_radius, meta.unit)
+    return W.window_size(r_vox, meta.shape[0] + 2)
+
+
+def _level_halo(meta, n_shards: int) -> int:
+    """Halo depth so every owned keypoint's clamped window gather stays
+    inside the extended slab: H >= max(rm, Wz - L - 1) with rm = (Wz-1)//2
+    (start >= z+1-rm and the nzp-Wz clamp on the last shard), +1 margin."""
+    L = meta.shape[0] // n_shards
+    Wz = max(
+        _window_zextent(meta, ORI_SIG_FCTR, ORI_RAD_FCTR),
+        _window_zextent(meta, DESC_SIG_FCTR, DESC_RAD_FCTR),
+    )
+    rm = (Wz - 1) // 2
+    return max(rm, Wz - L - 1) + 1
+
+
+class ShardedPallasSIFT3D:
+    """Multi-chip SIFT3D with per-device Pallas kernels (one per config+mesh).
+
+    extract() stages the phases as separate dispatches exactly like the
+    single-chip SIFT3D class; each phase's compiled program is cached per
+    volume shape.
+    """
+
+    def __init__(self, mesh: Mesh, cfg: SiftConfig | None = None,
+                 min_local: int = 8):
+        self.mesh = mesh
+        self.cfg = cfg or SiftConfig()
+        self.min_local = min_local
+        self.n = mesh.devices.size
+        self._jits = {}
+
+    # -- static helpers -----------------------------------------------------
+
+    def can_shard(self, shape) -> bool:
+        return shape[0] % self.n == 0 and shape[0] // self.n >= self.min_local
+
+    def _sharding(self, for_shape):
+        if self.can_shard(for_shape):
+            return NamedSharding(self.mesh, P(BLOCK_AXIS, None, None))
+        return NamedSharding(self.mesh, P())
+
+    # -- phase 1: pyramids --------------------------------------------------
+
+    def _pyramids(self, vol, plan: PyramidPlan):
+        cfg, mesh = self.cfg, self.mesh
+        gl = cfg.gss_levels
+
+        def constrain(x):
+            return jax.lax.with_sharding_constraint(x, self._sharding(x.shape))
+
+        def blur(x, sigma):
+            if self.can_shard(x.shape):
+                return sharded_gaussian_blur(x, sigma, mesh)
+            with G.xla_blur():
+                return constrain(G.gaussian_blur(x, sigma))
+
+        def pyramids(v):
+            v = G.data_scale(v.astype(jnp.float32))
+            gss = []
+            for o in range(plan.num_octaves):
+                for i in range(gl):
+                    if o == 0 and i == 0:
+                        gss.append(blur(constrain(v), plan.base_sig))
+                    elif i == 0:
+                        gss.append(constrain(
+                            G.downsample(gss[(o - 1) * gl + cfg.num_kp_levels])
+                        ))
+                    else:
+                        gss.append(blur(gss[o * gl + i - 1], plan.sigmas[i]))
+            dog = [
+                G.dog(gss[o * gl + i - 1], gss[o * gl + i])
+                for o in range(plan.num_octaves)
+                for i in range(1, gl)
+            ]
+            return gss, dog
+
+        return pyramids
+
+    # -- phase 2: halo extension (collectives only) -------------------------
+
+    def _extend_octave(self, plan, o):
+        """For each detect level of a sharded octave: pmax threshold, 1-deep
+        DoG halo slab, and the halo-extended padded GSS slab. All collectives
+        of the module are barrier-chained."""
+        cfg, mesh, n = self.cfg, self.mesh, self.n
+        dl = cfg.dog_levels
+
+        def extend(dogs, gsss):
+            # dogs: octave's dl DoG levels; gsss: keypoint-level GSS arrays
+            out = []
+            tok = None
+            for i in range(1, dl - 1):
+                meta = plan.gss_meta(o, i)
+                halo = _level_halo(meta, n)
+
+                def f(dogc, gss):
+                    th = jnp.max(jnp.abs(dogc))
+                    th = jax.lax.pmax(th, BLOCK_AXIS)
+                    dogc_t, _ = jax.lax.optimization_barrier((dogc, th))
+                    lo1, hi1 = exchange_halo(dogc_t, 1)
+                    ext1 = jnp.concatenate([lo1, dogc, hi1], axis=0)
+                    gss_t, _ = jax.lax.optimization_barrier((gss, ext1[0, 0, 0]))
+                    glo, ghi = exchange_halo(gss_t, halo)
+                    gext = jnp.pad(
+                        jnp.concatenate([glo, gss, ghi], axis=0),
+                        ((0, 0), (1, 1), (1, 1)),
+                    )
+                    return th, ext1[None], gext[None]
+
+                a, b = dogs[i], gsss[i - 1]
+                if tok is not None:
+                    a, b, _ = jax.lax.optimization_barrier((a, b, tok))
+                th, ext1, gext = shard_map(
+                    f, mesh=mesh,
+                    in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS)),
+                    out_specs=(P(), P(BLOCK_AXIS), P(BLOCK_AXIS)),
+                    check_vma=False,
+                )(a, b)
+                tok = th
+                out.append({"thres_max": th, "dog_ext": ext1, "gss_ext": gext})
+            return out
+
+        return extend
+
+    # -- phase 3: level stages (NO collectives) -----------------------------
+
+    def _levels_octave_sharded(self, plan, o):
+        cfg, mesh, n = self.cfg, self.mesh, self.n
+        dl = cfg.dog_levels
+        cap_local = max(cfg.cap_for_octave(o) // n, 128)
+
+        def levels(dogs, ext):
+            sets = []
+            for i in range(1, dl - 1):
+                meta = plan.gss_meta(o, i)
+                nz = meta.shape[0]
+                halo = _level_halo(meta, n)
+
+                def f(dogp, dogn, e, th):
+                    ext1 = e["dog_ext"][0]   # (L+2, ny, nx)
+                    gext = e["gss_ext"][0]   # (L+2*halo, ny+2, nx+2)
+                    L = dogp.shape[0]
+                    idx = jax.lax.axis_index(BLOCK_AXIS)
+                    z0 = idx * L
+                    thres = jnp.float32(cfg.peak_thresh) * th
+
+                    c = ext1[1:-1, 1:-1, 1:-1]
+                    passed = (c > thres) | (c < -thres)
+                    neigh = (
+                        dogp[:, 1:-1, 1:-1],
+                        ext1[1:-1, 1:-1, :-2],
+                        ext1[1:-1, 1:-1, 2:],
+                        ext1[1:-1, 2:, 1:-1],
+                        ext1[1:-1, :-2, 1:-1],
+                        ext1[2:, 1:-1, 1:-1],
+                        ext1[:-2, 1:-1, 1:-1],
+                        dogn[:, 1:-1, 1:-1],
+                    )
+                    is_min = passed
+                    is_max = passed
+                    for nb in neigh:
+                        is_min = is_min & (c < nb)
+                        is_max = is_max & (c > nb)
+                    mask = is_min | is_max
+                    gz = z0 + jax.lax.broadcasted_iota(jnp.int32, mask.shape, 0)
+                    mask = mask & (gz >= 1) & (gz <= nz - 2)
+
+                    det = D.compact(mask, cap_local, thres,
+                                    use_pallas=cfg.use_pallas)
+                    det = det._replace(
+                        z=jnp.where(det.valid, det.z - 1 + z0, 0)
+                    )
+                    z_off = z0 - (halo - 1)
+                    return _orient_describe(
+                        det, gext, plan=plan, o=o, i=i, z_off=z_off
+                    )
+
+                sets.append(
+                    shard_map(
+                        f, mesh=mesh,
+                        in_specs=(
+                            P(BLOCK_AXIS), P(BLOCK_AXIS),
+                            {"thres_max": P(), "dog_ext": P(BLOCK_AXIS),
+                             "gss_ext": P(BLOCK_AXIS)},
+                            P(),
+                        ),
+                        out_specs=KeypointSet(
+                            *([P(BLOCK_AXIS)] * len(KeypointSet._fields))
+                        ),
+                        check_vma=False,
+                    )(dogs[i - 1], dogs[i + 1], ext[i - 1],
+                      ext[i - 1]["thres_max"])
+                )
+            return sets
+
+        return levels
+
+    def _levels_octave_replicated(self, plan, o):
+        cfg, mesh = self.cfg, self.mesh
+        dl = cfg.dog_levels
+
+        def levels(dogs, gsss):
+            sets = []
+            for i in range(1, dl - 1):
+                f = functools.partial(_level_stage, plan=plan, o=o, i=i)
+                sets.append(
+                    shard_map(
+                        f, mesh=mesh,
+                        in_specs=(P(),) * 4,
+                        out_specs=P(),
+                        check_vma=False,
+                    )(dogs[i - 1], dogs[i], dogs[i + 1], gsss[i - 1])
+                )
+            return sets
+
+        return levels
+
+    # -- phase 4: gather + merge --------------------------------------------
+
+    def _merge(self, shardedness):
+        mesh = self.mesh
+        nf = len(KeypointSet._fields)
+
+        def merge(sets):
+            flat, flags = [], []
+            for s, sh in zip(sets, shardedness):
+                for fname in KeypointSet._fields:
+                    flat.append(getattr(s, fname))
+                    flags.append(sh)
+
+            def f(*arrs):
+                out, tok = [], None
+                for a, sh in zip(arrs, flags):
+                    if sh:
+                        if tok is not None:
+                            a, _ = jax.lax.optimization_barrier((a, tok))
+                        a = jax.lax.all_gather(
+                            a, BLOCK_AXIS, axis=0, tiled=True
+                        )
+                        tok = a.ravel()[0]
+                    out.append(a)
+                return tuple(out)
+
+            gathered = shard_map(
+                f, mesh=mesh,
+                in_specs=tuple(
+                    P(BLOCK_AXIS) if sh else P() for sh in flags
+                ),
+                out_specs=P(),
+                check_vma=False,
+            )(*flat)
+            rebuilt = [
+                KeypointSet(*gathered[k * nf: (k + 1) * nf])
+                for k in range(len(sets))
+            ]
+            return sort_valid_first(merge_sets(rebuilt))
+
+        return merge
+
+    # -- driver -------------------------------------------------------------
+
+    def extract(self, vol) -> KeypointSet:
+        """Staged multi-chip extraction; returns a replicated KeypointSet
+        identical (valid prefix) to single-chip SIFT3D.extract."""
+        vol = jnp.asarray(vol, dtype=jnp.float32)
+        shape = tuple(int(s) for s in vol.shape)
+        plan = make_plan(self.cfg, shape)
+        cfg = self.cfg
+        gl, dl = cfg.gss_levels, cfg.dog_levels
+
+        key = ("pyr", shape)
+        if key not in self._jits:
+            self._jits[key] = jax.jit(
+                self._pyramids(vol, plan),
+                in_shardings=self._sharding(shape),
+            )
+        gss, dog = self._jits[key](
+            jax.device_put(vol, self._sharding(shape))
+        )
+
+        sets, shardedness = [], []
+        for o in range(plan.num_octaves):
+            meta_shape = plan.gss_meta(o, 1).shape
+            dogs = tuple(dog[o * dl: (o + 1) * dl])
+            gsss = tuple(gss[o * gl + 1: o * gl + dl - 1])
+            if self.can_shard(meta_shape):
+                ekey = ("ext", shape, o)
+                if ekey not in self._jits:
+                    self._jits[ekey] = jax.jit(self._extend_octave(plan, o))
+                ext = self._jits[ekey](dogs, gsss)
+                lkey = ("lvl", shape, o)
+                if lkey not in self._jits:
+                    self._jits[lkey] = jax.jit(
+                        self._levels_octave_sharded(plan, o)
+                    )
+                sets.extend(self._jits[lkey](dogs, ext))
+                shardedness.extend([True] * (dl - 2))
+            else:
+                lkey = ("lvlr", shape, o)
+                if lkey not in self._jits:
+                    self._jits[lkey] = jax.jit(
+                        self._levels_octave_replicated(plan, o)
+                    )
+                sets.extend(self._jits[lkey](dogs, gsss))
+                shardedness.extend([False] * (dl - 2))
+
+        mkey = ("merge", shape, tuple(shardedness))
+        if mkey not in self._jits:
+            self._jits[mkey] = jax.jit(self._merge(shardedness))
+        return self._jits[mkey](sets)
+
+
+def sharded_pallas_extract(
+    vol, plan: PyramidPlan, mesh: Mesh, min_local: int = 8
+) -> KeypointSet:
+    """Functional one-shot wrapper (tests)."""
+    return ShardedPallasSIFT3D(mesh, plan.cfg, min_local).extract(vol)
+
+
+def make_sharded_pallas_step(
+    mesh: Mesh,
+    shape: tuple[int, int, int],
+    cfg: SiftConfig | None = None,
+    threshold: float = 0.85,
+    min_local: int = 8,
+):
+    """Python-staged full step: extract both volumes with per-chip Pallas
+    kernels, then match on the replicated (allgathered) descriptor sets.
+
+    Same result contract as parallel/sharded.py:make_sharded_step; the
+    callable is NOT one jit (phases are separate cached dispatches)."""
+    sift = ShardedPallasSIFT3D(mesh, cfg, min_local)
+    vol_sharding = NamedSharding(mesh, P(BLOCK_AXIS, None, None))
+
+    @jax.jit
+    def match(ref, tar):
+        res = match_descriptors(
+            ref.desc, tar.desc, ref.valid, tar.valid, threshold, mode=ENHANCED
+        )
+        rc, tc, valid = match_coords(ref.rxyz, tar.rxyz, res)
+        return {
+            "ref_coords": rc,
+            "tar_coords": tc,
+            "match_valid": valid,
+            "num_ref": ref.num_valid,
+            "num_tar": tar.num_valid,
+        }
+
+    def step(ref_vol, tar_vol):
+        ref = sift.extract(ref_vol)
+        tar = sift.extract(tar_vol)
+        return match(ref, tar)
+
+    return step, vol_sharding

@@ -120,12 +120,26 @@ def _level_stage(dog_prev, dog_cur, dog_next, gss_level, *, plan, o, i):
     """
     cfg = plan.cfg
     cap = cfg.cap_for_octave(o)
-    meta = plan.gss_meta(o, i)
 
     det = D.detect_level(dog_prev, dog_cur, dog_next, cfg.peak_thresh, cap,
                          use_pallas=cfg.use_pallas)
     gss_pad = jnp.pad(gss_level, 1)
-    ori = O.assign_orientation(gss_pad, det, meta, cfg)
+    return _orient_describe(det, gss_pad, plan=plan, o=o, i=i)
+
+
+def _orient_describe(det, gss_pad, *, plan, o, i, z_off=0):
+    """Orientation + descriptors for one level's detections.
+
+    Shared tail of the single-chip `_level_stage` and the multi-chip
+    shard_map stage (parallel/sharded_pallas.py), where `gss_pad` is a
+    halo-extended local z-slab and `z_off` maps global padded z rows to
+    local slab rows.
+    """
+    cfg = plan.cfg
+    cap = det.x.shape[0]
+    meta = plan.gss_meta(o, i)
+
+    ori = O.assign_orientation(gss_pad, det, meta, cfg, z_off=z_off)
     accepted = det.valid & (ori.status == 1)
 
     order = jnp.argsort(~accepted, stable=True)
@@ -139,7 +153,8 @@ def _level_stage(dog_prev, dog_cur, dog_next, gss_level, *, plan, o, i):
     )
     accepted = accepted[order]
 
-    desc = DE.extract_descriptors(gss_pad, det, ori.rotation, accepted, meta, cfg)
+    desc = DE.extract_descriptors(gss_pad, det, ori.rotation, accepted, meta,
+                                  cfg, z_off=z_off)
 
     coord_factor = jnp.float32(2.0 ** o)
     xyz = jnp.stack([det.x, det.y, det.z], axis=-1)
