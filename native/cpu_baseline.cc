@@ -568,12 +568,34 @@ int match_count(const std::vector<Keypoint> &ref, const std::vector<Keypoint> &t
 
 }  // namespace
 
+// Binary keypoint dump for cross-implementation parity diffing (the
+// reference's write_sift_kp protocol, Src/cUtil.cc:938-1016, as a compact
+// binary record instead of text): [int32 n][per kp: int32 x,y,z,octave,level;
+// f32 scale; f32 rot[9]; f32 rx,ry,rz; f32 desc[768]].
+static void dump_keypoints(const char *path, const std::vector<Keypoint> &kps) {
+  FILE *f = fopen(path, "wb");
+  if (!f) { fprintf(stderr, "cannot write %s\n", path); return; }
+  int32_t n = (int32_t)kps.size();
+  fwrite(&n, 4, 1, f);
+  for (const Keypoint &kp : kps) {
+    int32_t ints[5] = {kp.x, kp.y, kp.z, kp.octave, kp.level};
+    fwrite(ints, 4, 5, f);
+    fwrite(&kp.scale, 4, 1, f);
+    fwrite(kp.rot, 4, 9, f);
+    float r[3] = {kp.rx, kp.ry, kp.rz};
+    fwrite(r, 4, 3, f);
+    fwrite(kp.desc.data(), 4, kp.desc.size(), f);
+  }
+  fclose(f);
+}
+
 int main(int argc, char **argv) {
   if (argc < 3) {
-    fprintf(stderr, "usage: %s ref.mat tar.mat [threads]\n", argv[0]);
+    fprintf(stderr,
+            "usage: %s ref.mat tar.mat [threads] [dump_prefix]\n", argv[0]);
     return 1;
   }
-  if (argc > 3) omp_set_num_threads(atoi(argv[3]));
+  if (argc > 3 && atoi(argv[3]) > 0) omp_set_num_threads(atoi(argv[3]));
   Vol ref, tar;
   if (!read_mat(argv[1], &ref) || !read_mat(argv[2], &tar)) {
     fprintf(stderr, "failed to read volumes\n");
@@ -586,6 +608,10 @@ int main(int argc, char **argv) {
   extract(ref, mesh, &kr, &t_pyr, &t_det, &t_ori, &t_desc);
   extract(tar, mesh, &kt, &t_pyr, &t_det, &t_ori, &t_desc);
   double t_extract = omp_get_wtime() - t0;
+  if (argc > 4) {
+    dump_keypoints((std::string(argv[4]) + "_ref.kp").c_str(), kr);
+    dump_keypoints((std::string(argv[4]) + "_tar.kp").c_str(), kt);
+  }
   t0 = omp_get_wtime();
   int matches = match_count(kr, kt, 0.85f);
   double t_match = omp_get_wtime() - t0;

@@ -160,12 +160,40 @@ def argmax_face_constants() -> dict[str, np.ndarray]:
     sign = np.where(np.sum(n * centroid, axis=-1) < 0, -1.0, 1.0)
     n = n * sign[:, None]
     n = n / np.linalg.norm(n, axis=-1, keepdims=True)
+    c_det = np.cross(e2, e1)
+    # Face transitivity makes det degenerate with the argmax dot itself:
+    # c_det = C * n̂ with ONE scalar C = 2*area > 0 for every face, and
+    # q·e2 is a single positive per-face constant too. Folding 1/C into the
+    # by/bz tables removes det/qe2 from the per-face selection entirely:
+    #   det_ok  ⟺ |n̂·g| >= BARY_EPS / C
+    #   k >= 0  ⟺ n̂·g > 0
+    #   by = (c_by/C)·g / (n̂·g),  bz = (c_bz/C)·g / (n̂·g)
+    c_scale = np.sum(c_det * n, axis=-1)  # (20,) ~= +-C (truncated-phi
+    # GOLDEN_RATIO makes the solid minutely irregular; winding sets signs)
+    assert np.allclose(np.abs(c_scale), np.abs(c_scale[0]), rtol=1e-5)
+    qe2 = np.sum(q * e2, axis=-1)
+    assert np.allclose(np.abs(qe2), np.abs(qe2[0]), rtol=1e-5)
+    assert np.all(qe2 * np.sign(c_scale) > 0)  # k >= 0 iff det > 0
     return {
         "normals": n.astype(np.float32),
-        "c_det": np.cross(e2, e1).astype(np.float32),
+        "c_det": c_det.astype(np.float32),
         "c_by": np.cross(e2, t).astype(np.float32),
         "c_bz": q.astype(np.float32),
-        "qe2": np.sum(q * e2, axis=-1).astype(np.float32),
+        "qe2": qe2.astype(np.float32),
+        # argmax-degenerate forms (descriptor kernel v4): per-face exact
+        # signed division, one global |det| threshold, packed vids + the
+        # det-sign bit at bit 12.
+        "c_by_n": (np.cross(e2, t) / c_scale[:, None]).astype(np.float32),
+        "c_bz_n": (q / c_scale[:, None]).astype(np.float32),
+        "c_scale": np.float32(np.median(np.abs(c_scale))),
+        "vid_pack": np.array(
+            [
+                f[0] | (f[1] << 4) | (f[2] << 8)
+                | ((1 << 12) if c_scale[k] > 0 else 0)
+                for k, f in enumerate(TRI_IDX)
+            ],
+            np.int32,
+        ),
     }
 
 

@@ -161,11 +161,17 @@ def _kernel(
         nondeg = g2 >= f32(BARY_EPS)
 
         # --- argmax-normal face select with fused constant selection -----
+        # v4: det and q·e2 are argmax-degenerate on the regular icosahedron
+        # (det = C·best with one global C, q·e2 a single positive constant —
+        # see geometry.argmax_face_constants), so the hot selection loop
+        # carries only the C-folded by/bz vectors and one packed vid int:
+        # 12 vector ops per face instead of 18.
         NRM = ARGMAX_CONST["normals"]
-        CDET = ARGMAX_CONST["c_det"]
-        CBY = ARGMAX_CONST["c_by"]
-        CBZ = ARGMAX_CONST["c_bz"]
-        QE2 = ARGMAX_CONST["qe2"]
+        CBN = ARGMAX_CONST["c_by_n"]
+        CQN = ARGMAX_CONST["c_bz_n"]
+        VPK = ARGMAX_CONST["vid_pack"]
+        # |det| >= BARY_EPS  ⟺  |best| >= BARY_EPS / C
+        best_eps = f32(float(np.float64(BARY_EPS) / np.float64(ARGMAX_CONST["c_scale"])))
 
         def ndot(i):
             return (
@@ -175,37 +181,33 @@ def _kernel(
             )
 
         best = ndot(0)
-        cd = [jnp.full_like(grx, CDET[0, k]) for k in range(3)]
-        cb = [jnp.full_like(grx, CBY[0, k]) for k in range(3)]
-        cq = [jnp.full_like(grx, CBZ[0, k]) for k in range(3)]
-        qe2s = jnp.full_like(grx, QE2[0])
-        vid0 = jnp.full_like(az, TRI_IDX[0][0])
-        vid1 = jnp.full_like(az, TRI_IDX[0][1])
-        vid2 = jnp.full_like(az, TRI_IDX[0][2])
+        cb = [jnp.full_like(grx, CBN[0, k]) for k in range(3)]
+        cq = [jnp.full_like(grx, CQN[0, k]) for k in range(3)]
+        vpk = jnp.full_like(az, VPK[0])
         for i in range(1, 20):
             d = ndot(i)
             upd = d > best  # strict: earlier face wins ties (cpu_baseline.cc:460)
             best = jnp.where(upd, d, best)
             for k in range(3):
-                cd[k] = jnp.where(upd, f32(CDET[i, k]), cd[k])
-                cb[k] = jnp.where(upd, f32(CBY[i, k]), cb[k])
-                cq[k] = jnp.where(upd, f32(CBZ[i, k]), cq[k])
-            qe2s = jnp.where(upd, f32(QE2[i]), qe2s)
-            vid0 = jnp.where(upd, TRI_IDX[i][0], vid0)
-            vid1 = jnp.where(upd, TRI_IDX[i][1], vid1)
-            vid2 = jnp.where(upd, TRI_IDX[i][2], vid2)
+                cb[k] = jnp.where(upd, f32(CBN[i, k]), cb[k])
+                cq[k] = jnp.where(upd, f32(CQN[i, k]), cq[k])
+            vpk = jnp.where(upd, VPK[i], vpk)
+        vid0 = vpk & 15
+        vid1 = (vpk >> 4) & 15
+        vid2 = (vpk >> 8) & 15
+        # winding sign: det > 0 iff best*sgn > 0
+        sgn = jnp.where((vpk & (1 << 12)) > 0, f32(1.0), f32(-1.0))
 
-        det = cd[0] * grx + cd[1] * gry + cd[2] * grz
-        det_ok = jnp.abs(det) >= f32(BARY_EPS)
-        det_inv = f32(1.0) / jnp.where(det_ok, det, f32(1.0))
+        det_ok = jnp.abs(best) >= best_eps
+        det_inv = f32(1.0) / jnp.where(det_ok, best, f32(1.0))
         by_ = det_inv * (cb[0] * grx + cb[1] * gry + cb[2] * grz)
         bz_ = det_inv * (cq[0] * grx + cq[1] * gry + cq[2] * grz)
         bx_ = f32(1.0) - by_ - bz_
-        kv = det_inv * qe2s
+        k_ok = best * sgn > f32(0.0)
         found = (
             nondeg & det_ok
             & (bx_ >= f32(-BARY_EPS)) & (by_ >= f32(-BARY_EPS))
-            & (bz_ >= f32(-BARY_EPS)) & (kv >= 0)
+            & (bz_ >= f32(-BARY_EPS)) & k_ok
         )
 
         mag = jnp.sqrt(g2)
@@ -226,10 +228,13 @@ def _kernel(
         i4 = jax.lax.broadcasted_iota(jnp.int32, (4, LANE), 0)
         i12 = jax.lax.broadcasted_iota(jnp.int32, (12, LANE), 0)
 
+        zero = jnp.zeros((4, LANE), f32)
+        zero12 = jnp.zeros((12, LANE), f32)
+
         def axis_factor(base_row, frac_row):
-            return (
-                (i4 == base_row).astype(f32) * (f32(1.0) - frac_row)
-                + (i4 == base_row + 1).astype(f32) * frac_row
+            return jnp.where(
+                i4 == base_row, f32(1.0) - frac_row,
+                jnp.where(i4 == base_row + 1, frac_row, zero),
             )  # (4, LANE)
 
         acc = jnp.zeros((16, 48), jnp.float32)
@@ -241,9 +246,9 @@ def _kernel(
             Y = axis_factor(row(basey), row(fracy))
             Z = axis_factor(row(basez), row(fracz))
             V = (
-                (i12 == row(vid0)).astype(f32) * row(bx_)
-                + (i12 == row(vid1)).astype(f32) * row(by_)
-                + (i12 == row(vid2)).astype(f32) * row(bz_)
+                jnp.where(i12 == row(vid0), row(bx_), zero12)
+                + jnp.where(i12 == row(vid1), row(by_), zero12)
+                + jnp.where(i12 == row(vid2), row(bz_), zero12)
             ) * row(val)  # (12, LANE)
             G = jnp.concatenate([X[k : k + 1] * Y for k in range(4)], axis=0)
             H = jnp.concatenate([Z[k : k + 1] * V for k in range(4)], axis=0)
