@@ -138,11 +138,16 @@ def _core_offset_maps(wshape, cp):
 def _desc_one_block_pallas(
     gss_pad, bx, by, bz, rot, kp_ok, meta: LevelMeta, consts, z_off=0
 ):
-    """Pallas-kernel variant of _desc_one_block (same outputs)."""
+    """Pallas-kernel variant of _desc_one_block (same outputs).
+
+    v5 contract: the kernel receives RAW window values (one whole-window
+    block per keypoint) and computes the central differences itself, so no
+    (B, C) gradient streams ever hit HBM."""
     from .pallas.descriptor_kernel import (
         TILE,
         descriptor_bins_pallas,
         tile_z_ranges,
+        window_offset_maps,
     )
 
     (r_vox, win_radius, sigma, desc_hw, desc_bin_fctr, wshape) = consts
@@ -150,19 +155,15 @@ def _desc_one_block_pallas(
     unit = meta.unit
     B = bx.shape[0]
     Wz, Wy, Wx = wshape
-    C = (Wz - 2) * (Wy - 2) * (Wx - 2)
-    Cp = -(-C // TILE) * TILE
+    Cw = Wz * Wy * Wx
+    Cp = -(-Cw // TILE) * TILE
 
     wins, starts = W.gather_windows(
         gss_pad, bx, by, bz, wshape, z_off=z_off, nzp=nz + 2
     )
-    gx, gy, gz = W.central_gradients(wins, unit)
-    pad = ((0, 0), (0, Cp - C))
-    gx = jnp.pad(gx.reshape(B, C), pad)
-    gy = jnp.pad(gy.reshape(B, C), pad)
-    gz = jnp.pad(gz.reshape(B, C), pad)
+    win = jnp.pad(wins.reshape(B, Cw), ((0, 0), (0, Cp - Cw)))
 
-    maps_np = _core_offset_maps(wshape, Cp)
+    maps_np = window_offset_maps(wshape, Cp)
     ztab = jnp.asarray(tile_z_ranges(maps_np[0]))
     jzm, jym, jxm = (jnp.asarray(m) for m in maps_np)
 
@@ -184,7 +185,7 @@ def _desc_one_block_pallas(
     )
     interpret = jax.default_backend() != "tpu"
     T = descriptor_bins_pallas(
-        gx, gy, gz, jzm, jym, jxm, ztab, kpi, kpok, rotT, consts_k,
+        win, jzm, jym, jxm, ztab, kpi, kpok, rotT, wshape, consts_k,
         interpret=interpret,
     )
     desc = (

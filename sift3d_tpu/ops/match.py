@@ -43,12 +43,17 @@ class Top2(NamedTuple):
     d1: jnp.ndarray  # (N,) f32 best distance 2-2*dot
     d2: jnp.ndarray  # (N,) f32 second-best distance
     i1: jnp.ndarray  # (N,) int32 best target (-1 invalid)
-    i2: jnp.ndarray  # (N,) int32 second target
 
 
 class MatchResult(NamedTuple):
     tar_idx: jnp.ndarray  # (N,) int32 matched target per ref (-1 if none)
     valid: jnp.ndarray    # (N,) bool
+
+
+def _use_pallas_top2(flag=None) -> bool:
+    if flag is not None:
+        return flag
+    return jax.default_backend() == "tpu"
 
 
 def top2_scores(
@@ -57,43 +62,58 @@ def top2_scores(
     ref_valid: jnp.ndarray,
     tar_valid: jnp.ndarray,
     row_chunk: int = 1024,
+    use_pallas=None,
 ) -> Top2:
-    """Chunked top-2 dot products. Invalid targets can never be selected."""
+    """Top-2 dot products per ref row. Invalid targets can never be
+    selected. On TPU the tiled Pallas kernel keeps score tiles in VMEM
+    (ops/pallas/match_kernel.py); the XLA fallback materialises chunked
+    score matrices."""
     n = ref_desc.shape[0]
-    nchunks = -(-n // row_chunk)
-    pad = nchunks * row_chunk - n
-    ref_p = jnp.pad(ref_desc, ((0, pad), (0, 0)))
-
     neg = jnp.float32(-jnp.inf)
-    tmask = jnp.where(tar_valid, 0.0, neg)[None, :]
 
-    def chunk(i):
-        rows = jax.lax.dynamic_slice_in_dim(ref_p, i * row_chunk, row_chunk)
-        scores = (
-            jnp.dot(rows, tar_desc.T, preferred_element_type=jnp.float32,
-                    precision=SCORE_PRECISION[0]) + tmask
+    if _use_pallas_top2(use_pallas):
+        from .pallas.match_kernel import CM, RN, top2_scores_pallas
+
+        m = tar_desc.shape[0]
+        np_ = -(-n // RN) * RN
+        mp = -(-m // CM) * CM
+        ref_p = jnp.pad(ref_desc, ((0, np_ - n), (0, 0)))
+        tar_p = jnp.pad(tar_desc, ((0, mp - m), (0, 0)))
+        mask = jnp.full(mp, neg).at[:m].set(jnp.where(tar_valid, 0.0, neg))
+        s1, s2, i1 = top2_scores_pallas(
+            ref_p, tar_p, mask, SCORE_PRECISION[0],
+            interpret=jax.default_backend() != "tpu",
         )
-        i1 = jnp.argmax(scores, axis=1)
-        s1 = jnp.max(scores, axis=1)
-        scores2 = scores.at[jnp.arange(row_chunk), i1].set(neg)
-        i2 = jnp.argmax(scores2, axis=1)
-        s2 = jnp.max(scores2, axis=1)
-        return s1, s2, i1.astype(jnp.int32), i2.astype(jnp.int32)
+        s1, s2, i1 = s1[:n], s2[:n], i1[:n]
+    else:
+        nchunks = -(-n // row_chunk)
+        pad = nchunks * row_chunk - n
+        ref_p = jnp.pad(ref_desc, ((0, pad), (0, 0)))
+        tmask = jnp.where(tar_valid, 0.0, neg)[None, :]
 
-    s1, s2, i1, i2 = jax.lax.map(chunk, jnp.arange(nchunks))
-    s1 = s1.reshape(-1)[:n]
-    s2 = s2.reshape(-1)[:n]
-    i1 = i1.reshape(-1)[:n]
-    i2 = i2.reshape(-1)[:n]
+        def chunk(i):
+            rows = jax.lax.dynamic_slice_in_dim(ref_p, i * row_chunk, row_chunk)
+            scores = (
+                jnp.dot(rows, tar_desc.T, preferred_element_type=jnp.float32,
+                        precision=SCORE_PRECISION[0]) + tmask
+            )
+            i1 = jnp.argmax(scores, axis=1)
+            s1 = jnp.max(scores, axis=1)
+            scores2 = scores.at[jnp.arange(row_chunk), i1].set(neg)
+            s2 = jnp.max(scores2, axis=1)
+            return s1, s2, i1.astype(jnp.int32)
+
+        s1, s2, i1 = jax.lax.map(chunk, jnp.arange(nchunks))
+        s1 = s1.reshape(-1)[:n]
+        s2 = s2.reshape(-1)[:n]
+        i1 = i1.reshape(-1)[:n]
 
     # FLT_MIN init: selections require dot > FLT_MIN (Src/cMatcher.cc:54-69).
     i1 = jnp.where((s1 > _FLT_MIN) & ref_valid, i1, -1)
-    i2 = jnp.where((s2 > _FLT_MIN) & ref_valid, i2, -1)
     return Top2(
         d1=2.0 - 2.0 * s1,
         d2=2.0 - 2.0 * s2,
         i1=i1,
-        i2=i2,
     )
 
 

@@ -107,25 +107,29 @@ def _window_stats(
         return st, mg
 
     def block_pallas(args):
-        """Pallas-kernel variant of `block` (ops/pallas/orientation_kernel)."""
-        from .descriptor import _core_offset_maps
-        from .pallas.orientation_kernel import TILE, orientation_stats_pallas
+        """Pallas-kernel variant of `block` (ops/pallas/orientation_kernel):
+        the kernel receives raw window values and computes the central
+        differences itself (no (B, C) gradient streams in HBM)."""
+        from .pallas.orientation_kernel import (
+            TILE,
+            orientation_stats_pallas,
+            ori_tile_z_ranges,
+            ori_window_maps,
+        )
 
         bx, by, bz = args
         B = bx.shape[0]
         Wz, Wy, Wx = wshape
-        C = (Wz - 2) * (Wy - 2) * (Wx - 2)
-        Cp = -(-C // TILE) * TILE
+        Cw = Wz * Wy * Wx
+        Cp = -(-Cw // TILE) * TILE
 
         wins, starts = W.gather_windows(
             gss_pad, bx, by, bz, wshape, z_off=z_off, nzp=nzp
         )
-        gx, gy, gz = W.central_gradients(wins, unit)
-        padc = ((0, 0), (0, Cp - C))
-        gx = jnp.pad(gx.reshape(B, C), padc)
-        gy = jnp.pad(gy.reshape(B, C), padc)
-        gz = jnp.pad(gz.reshape(B, C), padc)
-        jzm, jym, jxm = (jnp.asarray(m) for m in _core_offset_maps(wshape, Cp))
+        win = jnp.pad(wins.reshape(B, Cw), ((0, 0), (0, Cp - Cw)))
+        maps_np = ori_window_maps(wshape, Cp)
+        ztab = jnp.asarray(ori_tile_z_ranges(maps_np[0]))
+        jzm, jym, jxm = (jnp.asarray(m) for m in maps_np)
 
         xs_lo, xs_hi = W.box_bounds(bx, r_vox, nx)
         ys_lo, ys_hi = W.box_bounds(by, r_vox, ny)
@@ -139,7 +143,8 @@ def _window_stats(
         consts = (float(unit), float(win_radius_phys), float(sigma_phys))
         interp = jax.default_backend() != "tpu"
         return orientation_stats_pallas(
-            gx, gy, gz, jzm, jym, jxm, kpi, kpok, consts, interpret=interp
+            win, jzm, jym, jxm, ztab, kpi, kpok, wshape, consts,
+            interpret=interp,
         )
 
     from .descriptor import _use_pallas

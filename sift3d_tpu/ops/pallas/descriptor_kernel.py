@@ -3,40 +3,46 @@
 The XLA formulation of the per-voxel descriptor math (ops/descriptor.py)
 materialises ~60 intermediates per window voxel to HBM (measured 552ms
 device time for 412 keypoints at 128^3 level (0,1)); this kernel keeps the
-whole per-voxel chain — displacement, masks, Gaussian weight, eigenframe
-rotation, icosahedral face select, barycentric vertex weights, trilinear
-bin weights — in VMEM registers, and performs the 768-bin accumulation as
-an in-kernel MXU contraction:
+whole per-voxel chain — central-difference gradients, displacement, masks,
+Gaussian weight, eigenframe rotation, icosahedral face select, barycentric
+vertex weights, trilinear bin weights — in VMEM registers, and performs the
+768-bin accumulation as an in-kernel MXU contraction:
 
     desc[16, 48] += G(16, LANES) @ H(48, LANES)^T        per sublane row,
 
 where G rows are the 16 (x, y) spatial-bin weights and H rows the 48 (z,
-vertex) weights, voxels on lanes. HBM traffic drops to the three gradient
-component streams plus per-keypoint scalars.
+vertex) weights, voxels on lanes.
 
-v3 (VPU op-count rewrite, ~2.4x over the first-hit formulation):
-- face select is argmax over the 20 outward face normals (5 ops/face)
-  with the winning face's Möller–Trumbore dot-constants selected in the
-  same pass, then ONE ratio evaluation — the equivalence the independent
-  CPU baseline uses (native/cpu_baseline.cc:454-485) in place of the
-  reference's 20-way first-hit loop (Src/cSIFT3D.cc:1542-1573). The two
-  agree except for directions within BARY_EPS of a face edge, where the
-  contribution difference is bounded by the ~0 barycentric weight of the
-  non-shared vertex.
-- G and H are built as Kronecker products of 4-row per-axis factors and a
-  12-row vertex factor instead of direct 16/48-row comparison builds.
-- whole (keypoint, tile) grid steps are skipped when the tile's z-range
-  cannot intersect the keypoint's clamped box / sphere z-extent, or the
-  keypoint lane is not accepted (trailing lanes of the last block).
+v5 (fused gradients): the kernel input is the RAW gathered window values,
+flattened (window-major) — one whole-window VMEM block per keypoint, reused
+across that keypoint's voxel tiles. Central differences are computed
+in-kernel from flat-shifted copies (sublane/lane rolls with a row-carry
+select), so the XLA stage no longer materialises three (B, C) gradient
+streams to HBM: per-keypoint traffic drops from ~14 MB to ~5 MB at the
+77^3 window (the gather+gradient stage was ~160 ms of the 256^3 pair).
+Window-edge positions have no valid central difference and are excluded by
+sentinel offset maps exactly like pad lanes.
+
+v4: det and q·e2 are argmax-degenerate on the icosahedron (det = C·best
+with one global scalar, q·e2 constant — geometry.argmax_face_constants), so
+the face-select loop carries only the C-folded by/bz vectors and one packed
+vid+sign int: 12 vector ops per face instead of 18.
+
+v3: face select is argmax over the 20 outward face normals with fused
+constant selection (the equivalence the independent CPU baseline uses,
+native/cpu_baseline.cc:454-485, in place of the reference's 20-way
+first-hit loop, Src/cSIFT3D.cc:1542-1573; they agree except within
+BARY_EPS of a face edge). G/H built as Kronecker factors; whole grid steps
+skipped when a tile's z-slab cannot contribute.
 
 Numerics match ops/descriptor.py except where float op order differs
 (covered by the oracle parity tolerance); semantics replicated are those of
 Extract_Descriptor_Imp (reference Src/cSIFT3D.cc:1152-1573) — see
 ops/descriptor.py for the full catalogue of quirks.
 
-Grid: (B keypoints, T voxel tiles); each tile is (SUB, LANE) voxels. Per-
-tile integer coordinate maps are precomputed on host (shared by every
-keypoint of a level) so the kernel does no div/mod.
+Grid: (B keypoints, T voxel tiles); each tile is (SUB, LANE) window
+positions. Per-tile integer offset maps are precomputed on host (shared by
+every keypoint of a level) so the kernel does no div/mod.
 """
 
 from __future__ import annotations
@@ -51,11 +57,33 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...config import BARY_EPS
-from ...geometry import ARGMAX_CONST, TRI_IDX
+from ...geometry import ARGMAX_CONST
 
 SUB = 64      # sublane rows per tile (amortises per-grid-step overhead)
 LANE = 512    # lanes per tile
 TILE = SUB * LANE
+
+SENTINEL = 1 << 20  # offset-map value for positions with no contribution
+
+
+def _shift_rows(ext, k: int):
+    """out[r, l] = ext[flat(r*LANE + l + k)] for the rows that matter.
+
+    Valid for output rows r with 0 <= r + floor(k/LANE) (+1) < ext rows;
+    callers slice the middle band. 2-3 rolls + one lane select."""
+    q, rml = divmod(k, LANE)
+    nrow = ext.shape[0]
+
+    def rroll(x, r):  # row roll by -r (pltpu.roll wants shift >= 0)
+        return pltpu.roll(x, (-r) % nrow, 0)
+
+    if rml == 0:
+        return rroll(ext, q)
+    a = pltpu.roll(ext, (LANE - rml) % LANE, 1)
+    a1 = rroll(a, q)
+    a2 = rroll(a, q + 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, ext.shape, 1)
+    return jnp.where(lane < LANE - rml, a1, a2)
 
 
 def _kernel(
@@ -63,12 +91,15 @@ def _kernel(
     kpok_ref,  # scalar-prefetch: (B,) int32 accepted flag
     rot_ref,   # scalar-prefetch: (B, 16) f32: R^T row-major (9 used)
     ztab_ref,  # scalar-prefetch: (nt, 2) int32 per-tile [zmin zmax] core offsets
-    gx_ref, gy_ref, gz_ref,          # (1, 1, SUB, LANE) f32 gradient tiles
-    jz_ref, jy_ref, jx_ref,          # (1, SUB, LANE) int32 core-offset maps
+    win_ref,                         # (1, R + 2*EXTR, LANE) f32 window values
+    jz_ref, jy_ref, jx_ref,          # (1, SUB, LANE) int32 offset maps
     out_ref,                         # (1, 16, 48) f32 accumulator
     *,
     nt: int,
     rz: int,
+    extr: int,
+    wx: int,
+    wxy: int,
     unit: float,
     win_radius: float,
     sigma: float,
@@ -115,6 +146,23 @@ def _kernel(
         u = f32(unit)
         r2 = f32(win_radius) * f32(win_radius)
         sigma2 = f32(sigma) * f32(sigma)
+        inv_u = f32(1.0) / u
+
+        # --- central differences from the in-VMEM window ------------------
+        # ext covers the tile's rows plus the +-extr row reach of the z
+        # shift; the window block is zero-padded with extr rows both ends.
+        row0 = pl.multiple_of(t * SUB, SUB)
+        ext = win_ref[0, pl.ds(row0, SUB + 2 * extr), :]
+
+        def grad(k):
+            vp = _shift_rows(ext, k)[extr: extr + SUB, :]
+            vm = _shift_rows(ext, -k)[extr: extr + SUB, :]
+            # exact op order of ops/windows.py central_gradients
+            return f32(0.5) * (vp - vm) * inv_u
+
+        gx0 = grad(1)
+        gy0 = grad(wx)
+        gz0 = grad(wxy)
 
         # absolute voxel coordinates of this tile
         az = jz_ref[0] + sz            # (SUB, LANE) int32
@@ -149,9 +197,9 @@ def _kernel(
         )
 
         w = jnp.exp(f32(-0.5) * sq / sigma2)
-        gvx = gx_ref[0, 0] * w
-        gvy = gy_ref[0, 0] * w
-        gvz = gz_ref[0, 0] * w
+        gvx = gx0 * w
+        gvy = gy0 * w
+        gvz = gz0 * w
 
         grx = R[0] * gvx + R[1] * gvy + R[2] * gvz
         gry = R[3] * gvx + R[4] * gvy + R[5] * gvz
@@ -161,11 +209,6 @@ def _kernel(
         nondeg = g2 >= f32(BARY_EPS)
 
         # --- argmax-normal face select with fused constant selection -----
-        # v4: det and q·e2 are argmax-degenerate on the regular icosahedron
-        # (det = C·best with one global C, q·e2 a single positive constant —
-        # see geometry.argmax_face_constants), so the hot selection loop
-        # carries only the C-folded by/bz vectors and one packed vid int:
-        # 12 vector ops per face instead of 18.
         NRM = ARGMAX_CONST["normals"]
         CBN = ARGMAX_CONST["c_by_n"]
         CQN = ARGMAX_CONST["c_bz_n"]
@@ -227,7 +270,6 @@ def _kernel(
         # with h = z*12 + vert — matching the XLA layout in ops/descriptor.py.
         i4 = jax.lax.broadcasted_iota(jnp.int32, (4, LANE), 0)
         i12 = jax.lax.broadcasted_iota(jnp.int32, (12, LANE), 0)
-
         zero = jnp.zeros((4, LANE), f32)
         zero12 = jnp.zeros((12, LANE), f32)
 
@@ -240,7 +282,7 @@ def _kernel(
         acc = jnp.zeros((16, 48), jnp.float32)
         for s in range(SUB):
             def row(a):
-                return a[s : s + 1, :]  # (1, LANE)
+                return a[s: s + 1, :]  # (1, LANE)
 
             X = axis_factor(row(basex), row(fracx))
             Y = axis_factor(row(basey), row(fracy))
@@ -250,8 +292,8 @@ def _kernel(
                 + jnp.where(i12 == row(vid1), row(by_), zero12)
                 + jnp.where(i12 == row(vid2), row(bz_), zero12)
             ) * row(val)  # (12, LANE)
-            G = jnp.concatenate([X[k : k + 1] * Y for k in range(4)], axis=0)
-            H = jnp.concatenate([Z[k : k + 1] * V for k in range(4)], axis=0)
+            G = jnp.concatenate([X[k: k + 1] * Y for k in range(4)], axis=0)
+            H = jnp.concatenate([Z[k: k + 1] * V for k in range(4)], axis=0)
             acc = acc + jax.lax.dot_general(
                 G, H, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -261,11 +303,39 @@ def _kernel(
         out_ref[0] = out_ref[0] + acc
 
 
+def window_offset_maps(wshape, cp: int):
+    """Window-flat per-axis core-offset maps (cp,) int32.
+
+    Flat index i decodes to window position (wz, wy, wx); interior positions
+    (1 <= w <= W-2 on every axis — the only ones with a valid central
+    difference, and the only ones the reference's clamped box can contain,
+    ops/windows.py window_size slack) map to core offsets w-1; edge and pad
+    positions get SENTINEL so every contribution test fails."""
+    wz, wy, wx = wshape
+    c = wz * wy * wx
+    idx = np.arange(c, dtype=np.int64)
+    pz = (idx // (wy * wx)).astype(np.int32)
+    py = ((idx // wx) % wy).astype(np.int32)
+    px = (idx % wx).astype(np.int32)
+    interior = (
+        (pz >= 1) & (pz <= wz - 2)
+        & (py >= 1) & (py <= wy - 2)
+        & (px >= 1) & (px <= wx - 2)
+    )
+    big = np.int32(SENTINEL)
+    pad = cp - c
+    out = []
+    for p in (pz, py, px):
+        m = np.where(interior, p - 1, big).astype(np.int32)
+        out.append(np.concatenate([m, np.full(pad, big, np.int32)]))
+    return tuple(out)
+
+
 def tile_z_ranges(jzm_np: np.ndarray) -> np.ndarray:
     """(nt, 2) int32 [zmin, zmax] of real (non-sentinel) core z-offsets per
-    voxel tile, for the kernel's slab-skip test. Sentinel-padded lanes
-    (offset >= 2^19) are excluded; an all-sentinel tile gets an empty range
-    that can never intersect a box."""
+    voxel tile, for the kernel's slab-skip test. Sentinel lanes are
+    excluded; an all-sentinel tile gets an empty range that can never
+    intersect a box."""
     nt = jzm_np.size // TILE
     jz = jzm_np.reshape(nt, TILE)
     real = jz < (1 << 19)
@@ -276,29 +346,37 @@ def tile_z_ranges(jzm_np: np.ndarray) -> np.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("consts", "interpret"),
+    static_argnames=("wshape", "consts", "interpret"),
 )
 def descriptor_bins_pallas(
-    gx, gy, gz,          # (B, C) f32 gradients (C padded to TILE multiple)
-    jzm, jym, jxm,       # (C,) int32 core-offset maps
-    ztab,                # (C // TILE, 2) int32 per-tile [zmin zmax] (tile_z_ranges)
+    win,                 # (B, C_wp) f32 window VALUES, window-flat, padded
+    jzm, jym, jxm,       # (C_wp,) int32 offset maps (window_offset_maps)
+    ztab,                # (C_wp // TILE, 2) int32 per-tile [zmin zmax]
     kpi,                 # (B, 12) int32 per-kp ints
     kpok,                # (B,) int32
     rotT,                # (B, 16) f32 (R^T row-major, padded)
+    wshape,              # static (Wz, Wy, Wx)
     consts,              # (unit, win_radius, sigma, desc_hw, desc_bin_fctr)
     interpret: bool = False,
 ):
     """Returns (B, 16, 48) descriptor accumulators (xy-major, zv-minor)."""
-    B, C = gx.shape
+    B, C = win.shape
     assert C % TILE == 0
     nt = C // TILE
+    wz, wy, wx = wshape
     unit, win_radius, sigma, desc_hw, desc_bin_fctr = consts
     rz = int(math.ceil(win_radius / unit)) + 1
+    wxy = wy * wx
+    # row reach of the z-shift, rounded so slice extents stay 8-aligned
+    extr = -(-(wxy // LANE + 1) // 4) * 4
 
     kernel = functools.partial(
         _kernel,
         nt=nt,
         rz=rz,
+        extr=extr,
+        wx=wx,
+        wxy=wxy,
         unit=unit,
         win_radius=win_radius,
         sigma=sigma,
@@ -306,12 +384,10 @@ def descriptor_bins_pallas(
         desc_bin_fctr=desc_bin_fctr,
     )
 
-    # index maps receive the scalar-prefetch refs as trailing args
-    def g_spec():
-        return pl.BlockSpec(
-            (1, 1, SUB, LANE), lambda b, t, *_: (b, t, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
+    rows = C // LANE
+    win3 = jnp.pad(
+        win.reshape(B, rows, LANE), ((0, 0), (extr, extr), (0, 0))
+    )
 
     def j_spec():
         return pl.BlockSpec(
@@ -322,7 +398,10 @@ def descriptor_bins_pallas(
         num_scalar_prefetch=4,
         grid=(B, nt),
         in_specs=[
-            g_spec(), g_spec(), g_spec(),
+            pl.BlockSpec(
+                (1, rows + 2 * extr, LANE), lambda b, t, *_: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
             j_spec(), j_spec(), j_spec(),
         ],
         out_specs=pl.BlockSpec(
@@ -330,7 +409,6 @@ def descriptor_bins_pallas(
         ),
     )
 
-    shape4 = (B, nt, SUB, LANE)
     shape3 = (nt, SUB, LANE)
     return pl.pallas_call(
         kernel,
@@ -339,6 +417,6 @@ def descriptor_bins_pallas(
         interpret=interpret,
     )(
         kpi, kpok, rotT, ztab,
-        gx.reshape(shape4), gy.reshape(shape4), gz.reshape(shape4),
+        win3,
         jzm.reshape(shape3), jym.reshape(shape3), jxm.reshape(shape3),
     )

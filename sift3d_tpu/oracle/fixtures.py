@@ -4,11 +4,27 @@ The reference ships a Torus_Ref/Torus_Def NIfTI pair (README.md:66,
 Example.cpp:10-11) that is not in the repo; these generators produce
 comparable volumes: a smooth torus phantom plus a warped ("deformed") copy,
 and generic smooth random fields.
+
+All generation runs through XLA on the host CPU (eager jax ops pinned to
+the cpu device, returned as NumPy arrays). This VM's NumPy SIMD kernels
+degrade episodically by ~100-200x (exp, the ziggurat sampler, even plain
+broadcast adds during bad phases) — 512^3 generation took over an hour on
+NumPy; XLA's own kernels are unaffected. Generation is deterministic in
+`seed` (threefry) but the values differ from the pre-round-2 NumPy
+implementation; cached .fixture_cache pairs are unaffected.
 """
 
 from __future__ import annotations
 
 import numpy as np
+
+
+def _cpu():
+    import jax
+
+    # local_devices, not devices: under jax.distributed, devices() is the
+    # global list and another process's device is not addressable here.
+    return jax.local_devices(backend="cpu")[0]
 
 
 def torus_volume(
@@ -18,30 +34,42 @@ def torus_volume(
     noise: float = 0.0,
     seed: int = 0,
 ) -> np.ndarray:
-    """Smooth solid torus in the z=center plane, (nz, ny, nx) float32."""
+    """Smooth solid torus in the z=center plane, (nz, ny, nz) float32."""
+    import jax
+    import jax.numpy as jnp
+    from jax import random as jr
+
     nz, ny, nx = shape
     major = major if major is not None else 0.28 * min(nx, ny)
     minor = minor if minor is not None else 0.10 * min(nx, ny)
-    z = (np.arange(nz, dtype=np.float32) - (nz - 1) / 2.0)[:, None, None]
-    y = (np.arange(ny, dtype=np.float32) - (ny - 1) / 2.0)[None, :, None]
-    x = (np.arange(nx, dtype=np.float32) - (nx - 1) / 2.0)[None, None, :]
-    ring = np.sqrt(x * x + y * y) - major
-    d2 = ring * ring + z * z
-    vol = np.exp(-d2 / (2.0 * (minor / 1.5) ** 2)).astype(np.float32)
-    if noise > 0:
-        rng = np.random.default_rng(seed)
-        tex = rng.standard_normal(vol.shape).astype(np.float32)
-        # Band-limit the texture (box-smooth twice): white noise would be
-        # destroyed unevenly by trilinear resampling in warped variants,
-        # making keypoint counts depend on the fractional shift.
-        for _ in range(2):
-            for ax in range(3):
-                tex = (
-                    tex + np.roll(tex, 1, axis=ax) + np.roll(tex, -1, axis=ax)
-                ) / 3.0
-        tex *= 3.0  # restore amplitude lost to smoothing
-        vol = vol + noise * tex
-    return vol.astype(np.float32)
+    with jax.default_device(_cpu()):
+        z = (jnp.arange(nz, dtype=jnp.float32) - (nz - 1) / 2.0)[:, None, None]
+        y = (jnp.arange(ny, dtype=jnp.float32) - (ny - 1) / 2.0)[None, :, None]
+        x = (jnp.arange(nx, dtype=jnp.float32) - (nx - 1) / 2.0)[None, None, :]
+        ring = jnp.sqrt(x * x + y * y) - jnp.float32(major)
+        d2 = ring * ring + z * z
+        # flush the far-field tail to exact zero: f32 denormals make every
+        # later CPU pass over the volume crawl (x86 microcoded denormals)
+        arg = -d2 / jnp.float32(2.0 * (minor / 1.5) ** 2)
+        vol = jnp.where(
+            arg > -80.0, jnp.exp(jnp.maximum(arg, -80.0)), 0.0
+        ).astype(jnp.float32)
+        if noise > 0:
+            tex = jr.normal(jr.PRNGKey(seed), shape, dtype=jnp.float32)
+            # Band-limit the texture (box-smooth twice): white noise would
+            # be destroyed unevenly by trilinear resampling in warped
+            # variants, making keypoint counts depend on the fractional
+            # shift.
+            for _ in range(2):
+                for ax in range(3):
+                    tex = (
+                        tex
+                        + jnp.roll(tex, 1, axis=ax)
+                        + jnp.roll(tex, -1, axis=ax)
+                    ) / 3.0
+            tex = tex * 3.0  # restore amplitude lost to smoothing
+            vol = vol + jnp.float32(noise) * tex
+        return np.asarray(vol, dtype=np.float32)
 
 
 def warped_volume(
@@ -51,35 +79,48 @@ def warped_volume(
 
     shift is (sz, sy, sx): a feature at voxel p in `base` appears at p+shift.
     """
+    import jax
+    import jax.numpy as jnp
+
+    import math
+
     nz, ny, nx = base.shape
-    sz, sy, sx = shift
-    # The shift is axis-aligned, so sample coordinates are separable:
-    # broadcast 1-D index/fraction arrays instead of full 3-D meshgrids
-    # (numerically identical; the dense-meshgrid fancy-indexing path was
-    # pathologically slow in NumPy beyond ~128^3).
-    zi = np.clip(np.arange(nz, dtype=np.float32) - sz, 0, nz - 1)[:, None, None]
-    yi = np.clip(np.arange(ny, dtype=np.float32) - sy, 0, ny - 1)[None, :, None]
-    xi = np.clip(np.arange(nx, dtype=np.float32) - sx, 0, nx - 1)[None, None, :]
 
-    z0 = np.floor(zi).astype(int); z1 = np.minimum(z0 + 1, nz - 1)
-    y0 = np.floor(yi).astype(int); y1 = np.minimum(y0 + 1, ny - 1)
-    x0 = np.floor(xi).astype(int); x1 = np.minimum(x0 + 1, nx - 1)
-    fz = zi - z0; fy = yi - y0; fx = xi - x0
+    def expand(v, axis):
+        sh = [1, 1, 1]
+        sh[axis] = v.shape[0]
+        return v.reshape(sh)
 
-    def g(a, b, c):
-        return base[a, b, c]
+    def axis_lerp(b, axis, s, n):
+        # Sample coordinates i - s (edge-clamped) have one constant
+        # fractional part, so the clamped floor/ceil gathers are just
+        # edge-padded SLICES — XLA gathers crawl on this host.
+        ci = jnp.clip(jnp.arange(n, dtype=jnp.float32) - jnp.float32(s),
+                      0, n - 1)
+        c0 = jnp.floor(ci)
+        f = expand(ci - c0, axis)
+        k0 = math.floor(-s)
+        m = abs(k0) + 2
+        pads = [(0, 0)] * 3
+        pads[axis] = (m, m)
+        bp = jnp.pad(b, pads, mode="edge")
 
-    out = (
-        g(z0, y0, x0) * (1 - fz) * (1 - fy) * (1 - fx)
-        + g(z0, y0, x1) * (1 - fz) * (1 - fy) * fx
-        + g(z0, y1, x0) * (1 - fz) * fy * (1 - fx)
-        + g(z0, y1, x1) * (1 - fz) * fy * fx
-        + g(z1, y0, x0) * fz * (1 - fy) * (1 - fx)
-        + g(z1, y0, x1) * fz * (1 - fy) * fx
-        + g(z1, y1, x0) * fz * fy * (1 - fx)
-        + g(z1, y1, x1) * fz * fy * fx
-    )
-    return out.astype(np.float32)
+        def sl(off):
+            idx = [slice(None)] * 3
+            idx[axis] = slice(m + off, m + off + n)
+            return bp[tuple(idx)]
+
+        # interior rows use slices at k0/k0+1; clamped edge rows coincide
+        # with the edge-replicated padding, and their f values already
+        # account for the clamp.
+        return sl(k0) * (1 - f) + sl(k0 + 1) * f
+
+    with jax.default_device(_cpu()):
+        out = jnp.asarray(base)
+        for axis, s, n in ((0, shift[0], nz), (1, shift[1], ny),
+                           (2, shift[2], nx)):
+            out = axis_lerp(out, axis, s, n)
+        return np.asarray(out, dtype=np.float32)
 
 
 def warped_torus(
@@ -102,13 +143,17 @@ def smooth_random_volume(
     shape: tuple[int, int, int] = (48, 48, 48), seed: int = 0, smooth: int = 3
 ) -> np.ndarray:
     """Band-limited random field: white noise box-filtered `smooth` times."""
-    rng = np.random.default_rng(seed)
-    vol = rng.standard_normal(shape).astype(np.float32)
-    for _ in range(smooth):
-        for ax in range(3):
-            vol = (
-                vol
-                + np.roll(vol, 1, axis=ax)
-                + np.roll(vol, -1, axis=ax)
-            ) / 3.0
-    return vol.astype(np.float32)
+    import jax
+    import jax.numpy as jnp
+    from jax import random as jr
+
+    with jax.default_device(_cpu()):
+        vol = jr.normal(jr.PRNGKey(seed), shape, dtype=jnp.float32)
+        for _ in range(smooth):
+            for ax in range(3):
+                vol = (
+                    vol
+                    + jnp.roll(vol, 1, axis=ax)
+                    + jnp.roll(vol, -1, axis=ax)
+                ) / 3.0
+        return np.asarray(vol, dtype=np.float32)

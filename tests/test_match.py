@@ -74,3 +74,26 @@ def test_threshold_sweep_consistent():
         np.testing.assert_array_equal(masks[k], np.asarray(res.valid), err_msg=str(th))
     # monotone-ish: higher threshold keeps at least as many forward matches
     assert masks.sum(axis=1)[0] <= masks.sum(axis=1)[-1] + 5
+
+
+def test_top2_pallas_matches_xla():
+    """The tiled running-top-2 Pallas kernel (ops/pallas/match_kernel.py,
+    interpret mode here) selects identical best indices to the XLA path —
+    including duplicate-target exact ties (earliest index wins, reference
+    scan order Src/cMatcher.cc:54-77) and invalid-target masks — with dot
+    products equal to reduction-order ulps."""
+    ref = _random_descs(300, 11)
+    tar = _random_descs(1100, 12)
+    tar[50] = tar[40]
+    tar[900] = tar[40]  # exact ties across tile boundaries
+    rng = np.random.default_rng(13)
+    rv = rng.random(300) > 0.1
+    tv = rng.random(1100) > 0.1
+
+    a = M.top2_scores(jnp.asarray(ref), jnp.asarray(tar),
+                      jnp.asarray(rv), jnp.asarray(tv), use_pallas=False)
+    b = M.top2_scores(jnp.asarray(ref), jnp.asarray(tar),
+                      jnp.asarray(rv), jnp.asarray(tv), use_pallas=True)
+    np.testing.assert_array_equal(np.asarray(a.i1), np.asarray(b.i1))
+    np.testing.assert_allclose(np.asarray(a.d1), np.asarray(b.d1), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(a.d2), np.asarray(b.d2), atol=2e-6)
