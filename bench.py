@@ -71,8 +71,12 @@ def tpu_time(size: int, runs: int, cfg=None) -> tuple[float, dict]:
         rc, tc, valid = enhanced_match(kr, kt, 0.85)
         return rc, tc, valid, kr.num_valid, kt.num_valid
 
-    # compile
+    # compile: parallel AOT warmup of the per-octave modules (overlaps XLA
+    # C++ compiles across host cores + populates the persistent cache),
+    # then the first full step picks everything up. compile_s is the total
+    # cold-start cost (warmup + first dispatch).
     t0 = time.time()
+    warmup_s = sift.warmup(shape)
     out = step(ref, tar)
     jax.block_until_ready(out)
     compile_s = time.time() - t0
@@ -97,6 +101,7 @@ def tpu_time(size: int, runs: int, cfg=None) -> tuple[float, dict]:
     dropped = int(jax.device_get(kr.dropped_by_cap))
     info = {
         "compile_s": round(compile_s, 2),
+        "warmup_s": round(warmup_s, 2),
         "ref_keypoints": int(n_ref),
         "tar_keypoints": int(n_tar),
         "matches": int(np.asarray(valid).sum()),

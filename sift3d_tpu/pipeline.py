@@ -231,6 +231,53 @@ class SIFT3D:
     def plan(self, shape: tuple[int, int, int]) -> PyramidPlan:
         return make_plan(self.cfg, shape)
 
+    def warmup(self, shape: tuple[int, int, int], max_workers: int = 4):
+        """Compile every module for `shape` concurrently (cold-start path).
+
+        XLA compiles the six octave modules + pyramid module independently;
+        lowering them under a thread pool overlaps the C++ compile work
+        (the GIL is released inside XLA) and populates the persistent
+        compile cache, so the subsequent on-line jit calls deserialize
+        instead of recompiling. Returns seconds spent.
+        """
+        import time
+        from concurrent.futures import ThreadPoolExecutor
+
+        t0 = time.time()
+        plan = self.plan(shape)
+        cfg = self.cfg
+        dl, gl = cfg.dog_levels, cfg.gss_levels
+
+        vol_s = jax.ShapeDtypeStruct(shape, jnp.float32)
+        if shape not in self._pyramid_jit:
+            def pyramids(v):
+                v = G.data_scale(v)
+                return build_pyramids(v, plan)
+
+            self._pyramid_jit[shape] = jax.jit(pyramids)
+        gss_s, dog_s = jax.eval_shape(self._pyramid_jit[shape], vol_s)
+
+        jobs = [(self._pyramid_jit[shape], (vol_s,))]
+        for o in range(plan.num_octaves):
+            key = (shape, o)
+            if key not in self._octave_jits:
+                self._octave_jits[key] = jax.jit(
+                    functools.partial(_octave_stage, plan=plan, o=o)
+                )
+            jobs.append((
+                self._octave_jits[key],
+                (tuple(dog_s[o * dl: (o + 1) * dl]),
+                 tuple(gss_s[o * gl + 1: o * gl + dl - 1])),
+            ))
+
+        def compile_one(job):
+            fn, args = job
+            fn.lower(*args).compile()
+
+        with ThreadPoolExecutor(max_workers=max_workers) as ex:
+            list(ex.map(compile_one, jobs))
+        return time.time() - t0
+
     def extract_timed(self, volume):
         """extract() with per-stage wall-clock timing (the reference's
         time_info/SIFT_TimerPara reports, Src/cSIFT3D.cc:78-101, 228-233).
