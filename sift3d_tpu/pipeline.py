@@ -358,6 +358,33 @@ class SIFT3D:
         return out, report
 
 
+def build2sigma(volume, cfg: SiftConfig | None = None, factor: int = 4):
+    """Smooth-then-downsample consistency image (CSIFT3D::test_build2sigma,
+    Src/cSIFT3D.cc:322-343): take GSS level (0, 1) at sigma 1.6, smooth it
+    by sqrt((1.6*factor)^2 - 1.6^2) in one step, then downsample twice —
+    producing the volume at 1/factor resolution with total blur
+    1.6*factor. Comparing this against the pyramid's own octave-path level
+    validates the incremental-sigma schedule (blurs compose in quadrature
+    and commute with downsampling up to resampling error)."""
+    cfg = cfg or SiftConfig()
+    plan = make_plan(cfg, tuple(int(s) for s in volume.shape))
+
+    sig_prev = 1.6
+    sig_total = 1.6 * factor
+    sig = float(np.sqrt(sig_total ** 2 - sig_prev ** 2))
+
+    @jax.jit
+    def go(v):
+        v = G.data_scale(v.astype(jnp.float32))
+        lvl0 = G.gaussian_blur(v, plan.base_sig)          # GSS (0,0), sigma0
+        lvl1 = G.gaussian_blur(lvl0, plan.sigmas[1])      # GSS (0,1), 1.6
+        big = G.gaussian_blur(lvl1, sig)
+        half = G.downsample(big)
+        return G.downsample(half)
+
+    return go(jnp.asarray(volume, jnp.float32))
+
+
 def compact_valid(kps: KeypointSet, warn_overflow: bool = True) -> KeypointSet:
     """Slice the valid dense prefix into a power-of-2-bucketed KeypointSet.
 

@@ -78,6 +78,158 @@ def dump_oracle(volume, cfg=None) -> dict[str, np.ndarray]:
     return out
 
 
+def descriptor_voxel_trace(kp, level) -> dict[str, np.ndarray]:
+    """Per-voxel descriptor accumulation trace for one oracle keypoint
+    (the reference's write_debug_middle instrumentation,
+    Src/cUtil.cc:1208-1283 + Src/cSIFT3D.cc:1240-1363 debug branches).
+
+    Returns arrays over the keypoint's scan-order window voxels:
+      loop_point (N,3) x,y,z; vrot (N,3) weighted rotated gradient;
+      vbins (N,3) shifted bin coords; intersect_id (N,); bary (N,3);
+      dvbins (N,3) floorf fractions; offsets (N,8,3) int32 descriptor
+      offsets (-1 where the corner was skipped); accum (N,8,3) the values
+      added. Voxels rejected before the debug capture points hold zeros
+      with intersect_id = -1, matching the uninitialised-slot semantics of
+      the reference buffers only loosely (we zero instead of leaving junk).
+    """
+    import math
+
+    from ..config import (
+        DESC_RAD_FCTR,
+        DESC_SIG_FCTR,
+        IMG_BORDER,
+        NHIST_PER_DIM,
+    )
+    from ..geometry import TRI_IDX
+    from ..oracle.cpu_sift import _cart2bary_first_face
+
+    F32 = np.float32
+    gau = level.data
+    nz, ny, nx = gau.shape
+    u = F32(level.unit)
+    sigma = F32(kp.scale) * F32(DESC_SIG_FCTR)
+    win_radius = F32(DESC_RAD_FCTR) * sigma
+    desc_hw = win_radius / F32(math.sqrt(2))
+    desc_bin_fctr = F32(NHIST_PER_DIM) / (F32(2.0) * desc_hw)
+
+    cx, cy, cz = F32(kp.x), F32(kp.y), F32(kp.z)
+
+    def rng(c, n):
+        start = int(math.floor(float(F32(c - win_radius / u))))
+        start = start if start > 1 else IMG_BORDER
+        end = int(math.ceil(float(F32(c + win_radius / u))))
+        end = end if end < (n - 2) else n - 1 - IMG_BORDER
+        return start, end
+
+    x0, x1 = rng(cx, nx)
+    y0, y1 = rng(cy, ny)
+    z0, z1 = rng(cz, nz)
+
+    zs, ys, xs = np.meshgrid(
+        np.arange(z0, z1 + 1), np.arange(y0, y1 + 1), np.arange(x0, x1 + 1),
+        indexing="ij",
+    )
+    zs, ys, xs = (a.ravel() for a in (zs, ys, xs))
+    n = xs.size
+
+    out = {
+        "loop_point": np.stack([xs, ys, zs], -1).astype(F32),
+        "vrot": np.zeros((n, 3), F32),
+        "vbins": np.zeros((n, 3), F32),
+        "intersect_id": np.full(n, -1, np.int32),
+        "bary": np.zeros((n, 3), F32),
+        "dvbins": np.zeros((n, 3), F32),
+        "offsets": np.full((n, 8, 3), -1, np.int32),
+        "accum": np.zeros((n, 8, 3), F32),
+        "rotation": kp.rotation.T.astype(F32),  # the reference uses R^T
+    }
+
+    dx = (xs.astype(F32) - cx) * u
+    dy = (ys.astype(F32) - cy) * u
+    dz = (zs.astype(F32) - cz) * u
+    sq = dx * dx + dy * dy + dz * dz
+    alive = sq <= win_radius * win_radius  # sphere test precedes capture
+
+    Rt = kp.rotation.T.astype(F32)
+    disp = np.stack([dx, dy, dz], -1)
+    vrot_pos = disp @ Rt.T
+    vbins = (vrot_pos + desc_hw) * desc_bin_fctr - F32(0.5)
+    in_box = ~np.any((vbins <= -0.5) | (vbins >= 3.5), axis=-1)
+    alive = alive & in_box
+    out["vbins"][alive] = vbins[alive]
+
+    w = np.exp(F32(-0.5) * sq / (sigma * sigma)).astype(F32)
+    gx = F32(0.5) * (gau[zs, ys, xs + 1] - gau[zs, ys, xs - 1]) / u
+    gy = F32(0.5) * (gau[zs, ys + 1, xs] - gau[zs, ys - 1, xs]) / u
+    gz = F32(0.5) * (gau[zs + 1, ys, xs] - gau[zs - 1, ys, xs]) / u
+    grad_rot = (np.stack([gx, gy, gz], -1) * w[..., None]) @ Rt.T
+    out["vrot"][alive] = grad_rot[alive]
+
+    face_idx, bary = _cart2bary_first_face(grad_rot.astype(F32))
+    dvb = (vbins - np.floor(vbins)).astype(F32)
+    out["intersect_id"][alive] = face_idx[alive]
+    out["bary"][alive] = bary[alive]
+    out["dvbins"][alive] = dvb[alive]
+
+    alive = alive & (face_idx >= 0)
+    mag = np.sqrt(np.sum(grad_rot * grad_rot, -1)).astype(F32)
+    base = vbins.astype(np.int32)
+    vert_ids = np.asarray(TRI_IDX)[np.clip(face_idx, 0, 19)]
+
+    corner = 0
+    for dxb in range(2):
+        for dyb in range(2):
+            for dzb in range(2):
+                bx = base[:, 0] + dxb
+                by = base[:, 1] + dyb
+                bz = base[:, 2] + dzb
+                ok = (
+                    alive
+                    & (bx >= 0) & (by >= 0) & (bz >= 0)
+                    & (bx < NHIST_PER_DIM) & (by < NHIST_PER_DIM)
+                    & (bz < NHIST_PER_DIM)
+                )
+                wx = np.where(dxb == 0, 1.0 - dvb[:, 0], dvb[:, 0])
+                wy = np.where(dyb == 0, 1.0 - dvb[:, 1], dvb[:, 1])
+                wz = np.where(dzb == 0, 1.0 - dvb[:, 2], dvb[:, 2])
+                wgt = (wx * wy * wz).astype(F32) * mag
+                hist = bx + by * NHIST_PER_DIM + bz * NHIST_PER_DIM ** 2
+                off = hist[:, None] * 12 + vert_ids  # (N, 3)
+                out["offsets"][ok, corner] = off[ok]
+                out["accum"][ok, corner] = (wgt[:, None] * bary)[ok]
+                corner += 1
+    return out
+
+
+def write_descriptor_trace(path, kp, trace: dict) -> None:
+    """Append one keypoint's voxel trace in the reference's text layout
+    (Src/cUtil.cc:1208-1283: header 'x, y, z, scale' + R rows, then one
+    line per voxel: loop_point, vrot, vbins, intersect_id, bary, dvbins)."""
+    R = trace["rotation"].ravel()
+    with open(path, "a") as out:
+        out.write(f"{kp.x:.6f}, {kp.y:.6f}, {kp.z:.6f}, {kp.scale:.6f}\n")
+        out.write(
+            ", ".join(f"{v:.6f}" for v in R[:4])
+            + ", " + ", ".join(f"{v:.6f}" for v in R[4:8])
+            + f", {R[8]:.6f}\n"
+        )
+        for j in range(trace["loop_point"].shape[0]):
+            lp = trace["loop_point"][j]
+            vr = trace["vrot"][j]
+            vb = trace["vbins"][j]
+            ba = trace["bary"][j]
+            dv = trace["dvbins"][j]
+            out.write(
+                f"{lp[0]:.6f}, {lp[1]:.6f}, {lp[2]:.6f}, "
+                f"{vr[0]:.6f}, {vr[1]:.6f}, {vr[2]:.6f}, "
+                f"{vb[0]:.6f}, {vb[1]:.6f}, {vb[2]:.6f}, "
+                f"{int(trace['intersect_id'][j])}, "
+                f"{ba[0]:.6f}, {ba[1]:.6f}, {ba[2]:.6f}, "
+                f"{dv[0]:.6f}, {dv[1]:.6f}, {dv[2]:.6f}\n"
+            )
+        out.write("\n\n\n\n\n")
+
+
 def diff_dumps(tpu: dict, oracle: dict, desc_l2_tol: float = 1e-3) -> dict:
     """Compare a TPU dump against an oracle dump. Returns a report dict;
     'ok' is True when every stage is within tolerance."""
