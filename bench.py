@@ -142,12 +142,29 @@ def cpu_oracle_time(size: int) -> float:
             d = tempfile.mkdtemp()
             matrixio.write_matrix(f"{d}/ref.mat", ref)
             matrixio.write_matrix(f"{d}/tar.mat", tar)
-            out = subprocess.run(
-                [str(exe), f"{d}/ref.mat", f"{d}/tar.mat", str(nthreads)],
-                capture_output=True, text=True, check=True,
-            )
-            r = json.loads(out.stdout)
-            cache[mkey] = {"seconds": r["total_s"], "detail": r}
+            details = {}
+            for t in sorted({1, max(nthreads // 2, 1), nthreads}):
+                out = subprocess.run(
+                    [str(exe), f"{d}/ref.mat", f"{d}/tar.mat", str(t)],
+                    capture_output=True, text=True, check=True,
+                )
+                details[t] = json.loads(out.stdout)
+            r = details[nthreads]
+            # BASELINE's bar is vs a 32-thread CPU; this host has only
+            # `nthreads` cores. Record the most conservative projection —
+            # perfect linear scaling of the single-thread time to 32
+            # threads (measured 1->4t scaling is ~4.1x, i.e. essentially
+            # perfect, so this floor is tight; a real 32-core box would be
+            # slower than this in the bandwidth-bound pyramid stage).
+            proj32 = details[1]["total_s"] / 32.0
+            cache[mkey] = {
+                "seconds": r["total_s"],
+                "detail": r,
+                "thread_scaling": {
+                    str(t): d["total_s"] for t, d in details.items()
+                },
+                "projected_32t_perfect_scaling": round(proj32, 3),
+            }
             CACHE.write_text(json.dumps(cache, indent=1))
         secs = cache[mkey]["seconds"] * (size / measure) ** 3
         cache[key] = {"seconds": secs, "scaled_from": mkey}
@@ -202,6 +219,19 @@ def main():
         cpu_s = cpu_oracle_time(args.size)
         vs_baseline = round(cpu_s / value, 2)
         info["cpu_oracle_s"] = round(cpu_s, 2)
+        # honest 32-thread comparison (BASELINE's stated bar): perfect
+        # linear scaling of the measured 1-thread CPU time — the most
+        # conservative possible denominator (see cpu_oracle_time).
+        import os
+
+        cache = json.loads(CACHE.read_text()) if CACHE.exists() else {}
+        measure = min(args.size, 256)
+        entry = cache.get(f"native_{measure}_{os.cpu_count() or 4}t", {})
+        p32 = entry.get("projected_32t_perfect_scaling")
+        if p32:
+            scaled = p32 * (args.size / measure) ** 3
+            info["cpu_32t_projected_s"] = round(scaled, 3)
+            info["vs_32t_projection"] = round(scaled / value, 2)
 
     print(
         json.dumps(
