@@ -62,6 +62,10 @@ from ...geometry import ARGMAX_CONST
 SUB = 64      # sublane rows per tile (amortises per-grid-step overhead)
 LANE = 512    # lanes per tile
 TILE = SUB * LANE
+# Kronecker-factor accumulation granularity: rows per G/H build+dot.
+# >1 builds (4|12, GROUP, LANE) factors (full VREG packing); 1 = the
+# original per-sublane-row variant. Must divide SUB.
+ACCUM_GROUP = 8
 
 SENTINEL = 1 << 20  # offset-map value for positions with no contribution
 
@@ -265,40 +269,83 @@ def _kernel(
         fracy = vby - jnp.floor(vby)
         fracz = vbz - jnp.floor(vbz)
 
-        # --- accumulate: per sublane row, G/H as Kronecker factors --------
+        # --- accumulate: G/H as Kronecker factors over row groups ---------
         # G row g = (x, y) bin pair with g = x*4 + y; H row h = (z, vert)
         # with h = z*12 + vert — matching the XLA layout in ops/descriptor.py.
-        i4 = jax.lax.broadcasted_iota(jnp.int32, (4, LANE), 0)
-        i12 = jax.lax.broadcasted_iota(jnp.int32, (12, LANE), 0)
-        zero = jnp.zeros((4, LANE), f32)
-        zero12 = jnp.zeros((12, LANE), f32)
-
-        def axis_factor(base_row, frac_row):
-            return jnp.where(
-                i4 == base_row, f32(1.0) - frac_row,
-                jnp.where(i4 == base_row + 1, frac_row, zero),
-            )  # (4, LANE)
-
+        # v6 (grouped): build the factors for GROUP sublane rows at once as
+        # (4|12, GROUP, LANE) arrays — full (8, 128) VREG packing instead of
+        # the per-row (4, LANE)/(12, LANE) shapes that waste sublanes — and
+        # contract with one MXU dot per group over the collapsed
+        # (GROUP*LANE) minor dims. The per-row variant (GROUP=1-equivalent)
+        # is kept selectable via ACCUM_GROUP for TPU A/B.
         acc = jnp.zeros((16, 48), jnp.float32)
-        for s in range(SUB):
-            def row(a):
-                return a[s: s + 1, :]  # (1, LANE)
+        if ACCUM_GROUP > 1:
+            GR = ACCUM_GROUP
+            i4 = jax.lax.broadcasted_iota(jnp.int32, (4, GR, LANE), 0)
+            i12 = jax.lax.broadcasted_iota(jnp.int32, (12, GR, LANE), 0)
+            zero = jnp.zeros((4, GR, LANE), f32)
+            zero12 = jnp.zeros((12, GR, LANE), f32)
 
-            X = axis_factor(row(basex), row(fracx))
-            Y = axis_factor(row(basey), row(fracy))
-            Z = axis_factor(row(basez), row(fracz))
-            V = (
-                jnp.where(i12 == row(vid0), row(bx_), zero12)
-                + jnp.where(i12 == row(vid1), row(by_), zero12)
-                + jnp.where(i12 == row(vid2), row(bz_), zero12)
-            ) * row(val)  # (12, LANE)
-            G = jnp.concatenate([X[k: k + 1] * Y for k in range(4)], axis=0)
-            H = jnp.concatenate([Z[k: k + 1] * V for k in range(4)], axis=0)
-            acc = acc + jax.lax.dot_general(
-                G, H, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+            def axis_factor(base_g, frac_g):
+                return jnp.where(
+                    i4 == base_g, f32(1.0) - frac_g,
+                    jnp.where(i4 == base_g + 1, frac_g, zero),
+                )  # (4, GR, LANE)
+
+            for g in range(SUB // GR):
+                def grp(a):
+                    return a[g * GR: (g + 1) * GR][None]  # (1, GR, LANE)
+
+                X = axis_factor(grp(basex), grp(fracx))
+                Y = axis_factor(grp(basey), grp(fracy))
+                Z = axis_factor(grp(basez), grp(fracz))
+                V = (
+                    jnp.where(i12 == grp(vid0), grp(bx_), zero12)
+                    + jnp.where(i12 == grp(vid1), grp(by_), zero12)
+                    + jnp.where(i12 == grp(vid2), grp(bz_), zero12)
+                ) * grp(val)  # (12, GR, LANE)
+                G = jnp.concatenate(
+                    [X[k: k + 1] * Y for k in range(4)], axis=0
+                ).reshape(16, GR * LANE)
+                H = jnp.concatenate(
+                    [Z[k: k + 1] * V for k in range(4)], axis=0
+                ).reshape(48, GR * LANE)
+                acc = acc + jax.lax.dot_general(
+                    G, H, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+        else:
+            i4 = jax.lax.broadcasted_iota(jnp.int32, (4, LANE), 0)
+            i12 = jax.lax.broadcasted_iota(jnp.int32, (12, LANE), 0)
+            zero = jnp.zeros((4, LANE), f32)
+            zero12 = jnp.zeros((12, LANE), f32)
+
+            def axis_factor(base_row, frac_row):
+                return jnp.where(
+                    i4 == base_row, f32(1.0) - frac_row,
+                    jnp.where(i4 == base_row + 1, frac_row, zero),
+                )  # (4, LANE)
+
+            for s in range(SUB):
+                def row(a):
+                    return a[s: s + 1, :]  # (1, LANE)
+
+                X = axis_factor(row(basex), row(fracx))
+                Y = axis_factor(row(basey), row(fracy))
+                Z = axis_factor(row(basez), row(fracz))
+                V = (
+                    jnp.where(i12 == row(vid0), row(bx_), zero12)
+                    + jnp.where(i12 == row(vid1), row(by_), zero12)
+                    + jnp.where(i12 == row(vid2), row(bz_), zero12)
+                ) * row(val)  # (12, LANE)
+                G = jnp.concatenate([X[k: k + 1] * Y for k in range(4)], axis=0)
+                H = jnp.concatenate([Z[k: k + 1] * V for k in range(4)], axis=0)
+                acc = acc + jax.lax.dot_general(
+                    G, H, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
 
         out_ref[0] = out_ref[0] + acc
 
