@@ -424,9 +424,35 @@ def _compact_slice(kps: KeypointSet, bucket: int) -> KeypointSet:
     )
 
 
+def compact_valid_pair(ref: KeypointSet, tar: KeypointSet, warn_overflow=True):
+    """compact_valid for both volumes with ONE host sync: the four scalars
+    (two counts, two overflow totals) come back in a single fused fetch
+    instead of two round-trips (each costs a full tunnel latency)."""
+    import warnings
+
+    (nr, dr), (nt_, dt) = jax.device_get(
+        (_counts_jit(ref), _counts_jit(tar))
+    )
+    for name, dropped in (("ref", dr), ("tar", dt)):
+        if warn_overflow and int(dropped) > 0:
+            warnings.warn(
+                f"keypoint capacity overflow ({name}): {int(dropped)} "
+                "extrema dropped by per-level caps; increase "
+                "SiftConfig.max_kp_per_level",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+
+    def bucket(n, kps):
+        n = max(int(n), 1)
+        b = 1 << (n - 1).bit_length()
+        return _compact_slice(kps, min(b, kps.valid.shape[0]))
+
+    return bucket(nr, ref), bucket(nt_, tar)
+
+
 def _match(ref: KeypointSet, tar: KeypointSet, threshold, mode):
-    ref_c = compact_valid(ref)
-    tar_c = compact_valid(tar)
+    ref_c, tar_c = compact_valid_pair(ref, tar)
     res = match_descriptors(
         ref_c.desc, tar_c.desc, ref_c.valid, tar_c.valid, threshold, mode=mode
     )
