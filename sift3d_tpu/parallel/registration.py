@@ -154,9 +154,15 @@ def ransac_rigid(
     """
     k = src.shape[0]
     wvalid = valid.astype(jnp.float32)
+    # Sample minimal sets from the VALID lanes only, without replacement:
+    # match arrays are fixed-capacity buckets that are mostly invalid lanes,
+    # so uniform sampling over all k lanes almost never drew 3 valid points
+    # (e.g. 10 valid in a 128 bucket -> 0.05% per trial) and RANSAC
+    # degenerated to the garbage refit of a garbage best trial.
+    p = wvalid / jnp.maximum(jnp.sum(wvalid), 1.0)
 
     def trial(key):
-        idx = jax.random.randint(key, (3,), 0, k)
+        idx = jax.random.choice(key, k, (3,), replace=False, p=p)
         w = jnp.zeros(k).at[idx].add(1.0) * wvalid
         pose = estimate_rigid(src, dst, w + 1e-9)
         err = jnp.linalg.norm(pose.apply(src) - dst, axis=-1)
