@@ -212,12 +212,34 @@ def _octave_stage(dogs, gsss, *, plan, o):
     return merge_sets(sets)
 
 
+def _octave_group_stage(dogs_per_o, gsss_per_o, *, plan, octaves):
+    """Several octaves' level stages fused into one jit module.
+
+    Used for the small octaves (o >= 1): their per-level compute is tiny, so
+    one dispatch per octave is dominated by host/tunnel dispatch latency;
+    fusing them into a single module costs little compile time (module size
+    tracks voxel count) and removes ~5 dispatches per volume.
+    """
+    return merge_sets([
+        _octave_stage(dogs_per_o[k], gsss_per_o[k], plan=plan, o=o)
+        for k, o in enumerate(octaves)
+    ])
+
+
+# Octaves with at least this many voxels per level get their own jit
+# module; smaller ones are fused into one tail module (dispatch latency
+# dominates their compute). 8M: 256^3 octave 0 is alone, 128^3 and below
+# are fused.
+_GROUP_VOXELS = 8 * 1024 * 1024
+
+
 class SIFT3D:
     """User-facing pipeline object (the reference's CSIFT3D + factory,
     Include/cSIFT3D.h:118-204). One instance per configuration.
 
-    Extraction is staged: one jit for the pyramid build, one jit per detect
-    level. Each stage caches its compiled program per input shape.
+    Extraction is staged: one jit for the pyramid build, one jit per big
+    octave plus one fused module for the small-octave tail. Each stage
+    caches its compiled program per input shape.
     """
 
     def __init__(self, cfg: SiftConfig | None = None):
@@ -257,17 +279,29 @@ class SIFT3D:
             self._pyramid_jit[shape] = jax.jit(pyramids)
         gss_s, dog_s = jax.eval_shape(self._pyramid_jit[shape], vol_s)
 
+        def args_for(o):
+            return (
+                tuple(dog_s[o * dl: (o + 1) * dl]),
+                tuple(gss_s[o * gl + 1: o * gl + dl - 1]),
+            )
+
         jobs = [(self._pyramid_jit[shape], (vol_s,))]
-        for o in range(plan.num_octaves):
-            key = (shape, o)
+        for group in self._octave_groups(plan):
+            key = (shape, group)
             if key not in self._octave_jits:
-                self._octave_jits[key] = jax.jit(
-                    functools.partial(_octave_stage, plan=plan, o=o)
-                )
+                if len(group) == 1:
+                    fn = functools.partial(_octave_stage, plan=plan, o=group[0])
+                    self._octave_jits[key] = jax.jit(
+                        lambda dg, gs, _fn=fn: _fn(dg[0], gs[0])
+                    )
+                else:
+                    self._octave_jits[key] = jax.jit(functools.partial(
+                        _octave_group_stage, plan=plan, octaves=group
+                    ))
             jobs.append((
                 self._octave_jits[key],
-                (tuple(dog_s[o * dl: (o + 1) * dl]),
-                 tuple(gss_s[o * gl + 1: o * gl + dl - 1])),
+                (tuple(args_for(o)[0] for o in group),
+                 tuple(args_for(o)[1] for o in group)),
             ))
 
         def compile_one(job):
@@ -310,22 +344,48 @@ class SIFT3D:
             self._pyramid_jit[shape] = jax.jit(pyramids)
         return self._pyramid_jit[shape](vol)
 
+    def _octave_groups(self, plan) -> list[tuple[int, ...]]:
+        """Dispatch groups: big octaves alone, all small ones fused.
+
+        An octave is "big" while its level compute is large enough to hide
+        dispatch latency; below _GROUP_VOXELS the whole tail goes into one
+        module (one dispatch instead of one per octave)."""
+        big = [
+            o for o in range(plan.num_octaves)
+            if np.prod(plan.gss_meta(o, 1).shape) >= _GROUP_VOXELS
+        ]
+        tail = [o for o in range(plan.num_octaves) if o not in big]
+        groups = [(o,) for o in big]
+        if tail:
+            groups.append(tuple(tail))
+        return groups
+
     def _octaves(self, gss, dog, shape, plan):
         cfg = self.cfg
         dl, gl = cfg.dog_levels, cfg.gss_levels
-        sets = []
-        for o in range(plan.num_octaves):
-            key = (shape, o)
-            if key not in self._octave_jits:
-                self._octave_jits[key] = jax.jit(
-                    functools.partial(_octave_stage, plan=plan, o=o)
-                )
-            sets.append(
-                self._octave_jits[key](
-                    tuple(dog[o * dl: (o + 1) * dl]),
-                    tuple(gss[o * gl + 1: o * gl + dl - 1]),
-                )
+
+        def args_for(o):
+            return (
+                tuple(dog[o * dl: (o + 1) * dl]),
+                tuple(gss[o * gl + 1: o * gl + dl - 1]),
             )
+
+        sets = []
+        for group in self._octave_groups(plan):
+            key = (shape, group)
+            if key not in self._octave_jits:
+                if len(group) == 1:
+                    fn = functools.partial(_octave_stage, plan=plan, o=group[0])
+                    self._octave_jits[key] = jax.jit(
+                        lambda dg, gs, _fn=fn: _fn(dg[0], gs[0])
+                    )
+                else:
+                    self._octave_jits[key] = jax.jit(functools.partial(
+                        _octave_group_stage, plan=plan, octaves=group
+                    ))
+            dgs = tuple(args_for(o)[0] for o in group)
+            gss_g = tuple(args_for(o)[1] for o in group)
+            sets.append(self._octave_jits[key](dgs, gss_g))
         return sets
 
     def extract(self, volume) -> KeypointSet:
