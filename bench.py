@@ -66,8 +66,7 @@ def tpu_time(size: int, runs: int, cfg=None) -> tuple[float, dict]:
     sift = SIFT3D(cfg)
 
     def step(rv, tv):
-        kr = sift.extract(rv)
-        kt = sift.extract(tv)
+        kr, kt = sift.extract_pair(rv, tv)
         rc, tc, valid = enhanced_match(kr, kt, 0.85)
         return rc, tc, valid, kr.num_valid, kt.num_valid
 
@@ -76,7 +75,7 @@ def tpu_time(size: int, runs: int, cfg=None) -> tuple[float, dict]:
     # then the first full step picks everything up. compile_s is the total
     # cold-start cost (warmup + first dispatch).
     t0 = time.time()
-    warmup_s = sift.warmup(shape)
+    warmup_s = sift.warmup(shape, pair=True)
     out = step(ref, tar)
     jax.block_until_ready(out)
     compile_s = time.time() - t0

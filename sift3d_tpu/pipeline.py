@@ -232,6 +232,11 @@ def _octave_group_stage(dogs_per_o, gsss_per_o, *, plan, octaves):
 # are fused.
 _GROUP_VOXELS = 8 * 1024 * 1024
 
+# extract_pair fuses both volumes into each module (halving dispatches);
+# above this per-volume voxel count the doubled live memory risks OOM
+# (512^3 pyramids are ~6 GB each) and the pair falls back to sequential.
+_PAIR_VOXELS = 32 * 1024 * 1024
+
 
 class SIFT3D:
     """User-facing pipeline object (the reference's CSIFT3D + factory,
@@ -253,7 +258,8 @@ class SIFT3D:
     def plan(self, shape: tuple[int, int, int]) -> PyramidPlan:
         return make_plan(self.cfg, shape)
 
-    def warmup(self, shape: tuple[int, int, int], max_workers: int = 4):
+    def warmup(self, shape: tuple[int, int, int], max_workers: int = 4,
+               pair: bool = False):
         """Compile every module for `shape` concurrently (cold-start path).
 
         XLA compiles the six octave modules + pyramid module independently;
@@ -303,6 +309,39 @@ class SIFT3D:
                 (tuple(args_for(o)[0] for o in group),
                  tuple(args_for(o)[1] for o in group)),
             ))
+
+        if pair and int(np.prod(shape)) <= _PAIR_VOXELS:
+            # the pair modules contain two copies of the same graph; XLA
+            # compiles them afresh, so warm them instead of the singles
+            key = ("pair", shape)
+            if key not in self._pyramid_jit:
+                def pyramids2(a, b):
+                    a = G.data_scale(a)
+                    b = G.data_scale(b)
+                    return build_pyramids(a, plan), build_pyramids(b, plan)
+
+                self._pyramid_jit[key] = jax.jit(pyramids2)
+            jobs = [(self._pyramid_jit[key], (vol_s, vol_s))]
+            for group in self._octave_groups(plan):
+                gkey = ("pair", shape, group)
+                if gkey not in self._octave_jits:
+                    if len(group) == 1:
+                        fn = functools.partial(_octave_stage, plan=plan,
+                                               o=group[0])
+                        self._octave_jits[gkey] = jax.jit(
+                            lambda da, ga, db, gb, _fn=fn:
+                            (_fn(da[0], ga[0]), _fn(db[0], gb[0]))
+                        )
+                    else:
+                        fn = functools.partial(_octave_group_stage, plan=plan,
+                                               octaves=group)
+                        self._octave_jits[gkey] = jax.jit(
+                            lambda da, ga, db, gb, _fn=fn:
+                            (_fn(da, ga), _fn(db, gb))
+                        )
+                dg = tuple(args_for(o)[0] for o in group)
+                gs = tuple(args_for(o)[1] for o in group)
+                jobs.append((self._octave_jits[gkey], (dg, gs, dg, gs)))
 
         def compile_one(job):
             fn, args = job
@@ -399,6 +438,74 @@ class SIFT3D:
         gss, dog = self._pyramids(vol, shape, plan)
         sets = self._octaves(gss, dog, shape, plan)
         return self._finalize_jit(sets)
+
+    def extract_pair(self, ref, tar) -> tuple[KeypointSet, KeypointSet]:
+        """extract() for two same-shape volumes with both volumes fused
+        into each stage module: half the dispatches of two extract() calls
+        (dispatch latency is a full host<->device round trip on remote
+        tunnels). Falls back to sequential extraction when shapes differ or
+        the volume is too large to double-buffer (> _PAIR_VOXELS).
+        """
+        ref = jnp.asarray(ref, dtype=jnp.float32)
+        tar = jnp.asarray(tar, dtype=jnp.float32)
+        shape = tuple(int(s) for s in ref.shape)
+        if tuple(int(s) for s in tar.shape) != shape or (
+            int(np.prod(shape)) > _PAIR_VOXELS
+        ):
+            return self.extract(ref), self.extract(tar)
+        plan = self.plan(shape)
+
+        key = ("pair", shape)
+        if key not in self._pyramid_jit:
+            def pyramids2(a, b):
+                a = G.data_scale(a)
+                b = G.data_scale(b)
+                return build_pyramids(a, plan), build_pyramids(b, plan)
+
+            self._pyramid_jit[key] = jax.jit(pyramids2)
+        (gss_a, dog_a), (gss_b, dog_b) = self._pyramid_jit[key](ref, tar)
+
+        cfg = self.cfg
+        dl, gl = cfg.dog_levels, cfg.gss_levels
+
+        def args_for(dog, gss, o):
+            return (
+                tuple(dog[o * dl: (o + 1) * dl]),
+                tuple(gss[o * gl + 1: o * gl + dl - 1]),
+            )
+
+        sets_a, sets_b = [], []
+        for group in self._octave_groups(plan):
+            key = ("pair", shape, group)
+            if key not in self._octave_jits:
+                if len(group) == 1:
+                    fn = functools.partial(_octave_stage, plan=plan,
+                                           o=group[0])
+                    self._octave_jits[key] = jax.jit(
+                        lambda da, ga, db, gb, _fn=fn:
+                        (_fn(da[0], ga[0]), _fn(db[0], gb[0]))
+                    )
+                else:
+                    fn = functools.partial(_octave_group_stage, plan=plan,
+                                           octaves=group)
+                    self._octave_jits[key] = jax.jit(
+                        lambda da, ga, db, gb, _fn=fn:
+                        (_fn(da, ga), _fn(db, gb))
+                    )
+            da = tuple(args_for(dog_a, gss_a, o)[0] for o in group)
+            ga = tuple(args_for(dog_a, gss_a, o)[1] for o in group)
+            db = tuple(args_for(dog_b, gss_b, o)[0] for o in group)
+            gb = tuple(args_for(dog_b, gss_b, o)[1] for o in group)
+            sa, sb = self._octave_jits[key](da, ga, db, gb)
+            sets_a.append(sa)
+            sets_b.append(sb)
+
+        if "pair_fin" not in self._octave_jits:
+            self._octave_jits["pair_fin"] = jax.jit(
+                lambda a, b: (sort_valid_first(merge_sets(a)),
+                              sort_valid_first(merge_sets(b)))
+            )
+        return self._octave_jits["pair_fin"](sets_a, sets_b)
 
     def process_pair(
         self, ref_volume, tar_volume, threshold: float = 0.85,

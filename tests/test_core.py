@@ -237,3 +237,32 @@ def test_match_timed_matches_untimed():
     for phase in ("match", "filter", "countMatched", "revMatch",
                   "revFilter", "bijectFilter", "converse"):
         assert phase in timer.stages, phase
+
+
+def test_extract_pair_equals_sequential():
+    """extract_pair (both volumes fused into each stage module, half the
+    dispatches) returns bit-identical KeypointSets to two extract() calls."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from sift3d_tpu import SIFT3D, SiftConfig
+    from sift3d_tpu.oracle import fixtures
+
+    a = fixtures.smooth_random_volume((32, 32, 32), seed=11, smooth=2)
+    b = fixtures.smooth_random_volume((32, 32, 32), seed=12, smooth=2)
+    sift = SIFT3D(SiftConfig(max_kp_per_level=256))
+    ka_p, kb_p = sift.extract_pair(a, b)
+    ka, kb = sift.extract(a), sift.extract(b)
+    for f in ka._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ka, f)), np.asarray(getattr(ka_p, f)), err_msg=f
+        )
+        np.testing.assert_array_equal(
+            np.asarray(getattr(kb, f)), np.asarray(getattr(kb_p, f)), err_msg=f
+        )
+    # different shapes fall back to sequential extraction
+    c = fixtures.smooth_random_volume((32, 32, 40), seed=13, smooth=2)
+    kc1, kc2 = sift.extract_pair(a, c)
+    assert kc2.valid.shape == sift.extract(c).valid.shape
