@@ -64,8 +64,19 @@ LANE = 512    # lanes per tile
 TILE = SUB * LANE
 # Kronecker-factor accumulation granularity: rows per G/H build+dot.
 # >1 builds (4|12, GROUP, LANE) factors (full VREG packing); 1 = the
-# original per-sublane-row variant. Must divide SUB.
-ACCUM_GROUP = 8
+# original per-sublane-row variant. Must divide SUB. A/B via env var
+# (read at import; the kernel wrapper is jit-cached, so flipping the
+# module global mid-process does not retrace — set the env before import
+# or call jax.clear_caches()).
+import os as _os
+
+ACCUM_GROUP = int(_os.environ.get("SIFT3D_ACCUM_GROUP", "8"))
+
+# Face-select dot products on the MXU: hoist the 20 per-face ndots into one
+# (20, 3) @ (3, SUB*LANE) matmul (trades 20x5 VPU ops for 4 relayout
+# reshapes + one tiny-K matmul). Constant selection stays in the fold loop
+# (exact first-wins tie semantics). A/B knob; 0 = all-VPU loop.
+FACE_MXU = _os.environ.get("SIFT3D_FACE_MXU", "0") == "1"
 
 SENTINEL = 1 << 20  # offset-map value for positions with no contribution
 
@@ -96,6 +107,7 @@ def _kernel(
     rot_ref,   # scalar-prefetch: (B, 16) f32: R^T row-major (9 used)
     ztab_ref,  # scalar-prefetch: (nt, 2) int32 per-tile [zmin zmax] core offsets
     win_ref,                         # (1, R + 2*EXTR, LANE) f32 window values
+    nrm_ref,                         # (20, 3) f32 outward face normals
     jz_ref, jy_ref, jx_ref,          # (1, SUB, LANE) int32 offset maps
     out_ref,                         # (1, 16, 48) f32 accumulator
     *,
@@ -220,12 +232,26 @@ def _kernel(
         # |det| >= BARY_EPS  ⟺  |best| >= BARY_EPS / C
         best_eps = f32(float(np.float64(BARY_EPS) / np.float64(ARGMAX_CONST["c_scale"])))
 
-        def ndot(i):
-            return (
-                f32(NRM[i, 0]) * grx
-                + f32(NRM[i, 1]) * gry
-                + f32(NRM[i, 2]) * grz
-            )
+        if FACE_MXU:
+            N = SUB * LANE
+            gstk = jnp.concatenate(
+                [grx.reshape(1, N), gry.reshape(1, N), grz.reshape(1, N)],
+                axis=0,
+            )  # (3, N)
+            D3 = jax.lax.dot_general(
+                nrm_ref[...], gstk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(20, SUB, LANE)
+
+            def ndot(i):
+                return D3[i]
+        else:
+            def ndot(i):
+                return (
+                    f32(NRM[i, 0]) * grx
+                    + f32(NRM[i, 1]) * gry
+                    + f32(NRM[i, 2]) * grz
+                )
 
         best = ndot(0)
         cb = [jnp.full_like(grx, CBN[0, k]) for k in range(3)]
@@ -449,6 +475,8 @@ def descriptor_bins_pallas(
                 (1, rows + 2 * extr, LANE), lambda b, t, *_: (b, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
+            pl.BlockSpec((20, 3), lambda b, t, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
             j_spec(), j_spec(), j_spec(),
         ],
         out_specs=pl.BlockSpec(
@@ -465,5 +493,6 @@ def descriptor_bins_pallas(
     )(
         kpi, kpok, rotT, ztab,
         win3,
+        jnp.asarray(ARGMAX_CONST["normals"], jnp.float32),
         jzm.reshape(shape3), jym.reshape(shape3), jxm.reshape(shape3),
     )
