@@ -28,6 +28,21 @@ import contextlib
 _FORCE_XLA = [False]
 USE_PALLAS_BLUR = [False]
 
+# Blur einsum MXU precision. HIGHEST (6 bf16 passes) is the parity-safe
+# default; SIFT3D_BLUR_PRECISION=high (3 passes) is an A/B knob that must
+# be gated on exact keypoint-set equality (detection's strict-inequality
+# extremum test is threshold-sensitive). Read at import: modules are
+# jit-cached.
+import os as _os
+
+import jax as _jax
+
+BLUR_PRECISION = [
+    _jax.lax.Precision.HIGH
+    if _os.environ.get("SIFT3D_BLUR_PRECISION", "highest") == "high"
+    else _jax.lax.Precision.HIGHEST
+]
+
 
 @contextlib.contextmanager
 def xla_blur():
@@ -75,7 +90,7 @@ def gaussian_blur(vol: jnp.ndarray, sigma: float) -> jnp.ndarray:
 
         return gaussian_blur_pallas(vol, float(sigma))
 
-    hi = jax.lax.Precision.HIGHEST
+    hi = BLUR_PRECISION[0]
     Wz, Wy, Wx = blur_operators(vol.shape, sigma)
     out = jnp.einsum("xj,zyj->zyx", jnp.asarray(Wx), vol,
                      preferred_element_type=jnp.float32, precision=hi)
