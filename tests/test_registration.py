@@ -152,3 +152,42 @@ def test_register_group_end_to_end():
         s0 = np.array([shifts[0][2], shifts[0][1], shifts[0][0]])
         gt = -(sk - s0)
         assert np.linalg.norm(t - gt) < 1.0, (k, t, gt)
+
+
+def test_rotation_invariance_90deg_end_to_end():
+    """Descriptors are rotation-invariant via the eigenframe: keypoints of a
+    volume and its exact 90-degree rotation (resampling-free np.rot90) must
+    match, and RANSAC must recover the rotation itself — end-to-end coverage
+    of the orientation/descriptor chain under a non-identity rotation
+    (reference Src/cSIFT3D.cc:1115-1135 eigenframe + :1274-1327 rotated
+    binning)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sift3d_tpu import SIFT3D, SiftConfig, enhanced_match
+    from sift3d_tpu.oracle import fixtures
+    from sift3d_tpu.parallel import registration as R
+
+    vol = fixtures.smooth_random_volume((40, 40, 40), seed=2, smooth=3)
+    rot = np.ascontiguousarray(np.rot90(vol, k=1, axes=(1, 2)))
+
+    sift = SIFT3D(SiftConfig(max_kp_per_level=512))
+    ka, kb = sift.extract(vol), sift.extract(rot)
+    na = int(np.asarray(ka.num_valid))
+    rc, tc, valid = enhanced_match(ka, kb, 0.85)
+    v = np.asarray(valid)
+    assert v.sum() >= 0.8 * na, (v.sum(), na)
+
+    pose, inl = R.ransac_rigid(
+        jnp.asarray(np.asarray(rc)), jnp.asarray(np.asarray(tc)),
+        jnp.asarray(v), jax.random.PRNGKey(0),
+        iters=128, inlier_thresh=1.0,
+    )
+    assert int(np.asarray(inl).sum()) >= 0.9 * v.sum()
+    # rot90 over (y, x): x' = y, y' = (nx-1) - x, z' = z  (in xyz coords)
+    R_expected = np.array([[0.0, 1.0, 0.0],
+                           [-1.0, 0.0, 0.0],
+                           [0.0, 0.0, 1.0]])
+    t_expected = np.array([0.0, 39.0, 0.0])
+    np.testing.assert_allclose(np.asarray(pose.R), R_expected, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(pose.t), t_expected, atol=0.05)
