@@ -324,7 +324,13 @@ def extract_descriptors(
     consts = (r_vox, win_radius, sigma, desc_hw, desc_bin_fctr, wshape)
 
     C = (wshape[0] - 2) * (wshape[1] - 2) * (wshape[2] - 2)
-    block = int(np.clip(_FLOAT_BUDGET // max(40 * C, 1), 1, cfg.kp_block))
+    # Live floats per window voxel in the XLA stage: the Pallas path only
+    # materialises the raw gathered window (+pad copies), the XLA path
+    # ~40 per-voxel intermediates — so Pallas blocks can be ~7x larger
+    # (fewer while-loop trips at big windows; kernel VMEM is per-keypoint
+    # and unaffected by the block size).
+    per_voxel = 6 if _use_pallas(cfg) else 40
+    block = int(np.clip(_FLOAT_BUDGET // max(per_voxel * C, 1), 1, cfg.kp_block))
 
     cap = det.x.shape[0]
     nblocks = -(-cap // block)
