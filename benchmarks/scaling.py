@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend with 8 virtual devices "
                     "(functional scaling only; no perf meaning)")
+    ap.add_argument("--pallas", action="store_true",
+                    help="use the shard_map per-chip Pallas step "
+                    "(parallel/sharded_pallas.py) instead of the GSPMD "
+                    "step — the fast path on real TPU meshes")
     args = ap.parse_args()
 
     import os
@@ -50,7 +54,13 @@ def main():
     from sift3d_tpu.config import SiftConfig
     from sift3d_tpu.oracle import fixtures
     from sift3d_tpu.parallel import mesh as M
-    from sift3d_tpu.parallel.sharded import make_sharded_step
+
+    if args.pallas:
+        from sift3d_tpu.parallel.sharded_pallas import (
+            make_sharded_pallas_step as make_sharded_step,
+        )
+    else:
+        from sift3d_tpu.parallel.sharded import make_sharded_step
 
     ndev_avail = len(jax.devices())
     limit = args.max_devices or ndev_avail
