@@ -68,7 +68,8 @@ def tpu_time(size: int, runs: int, cfg=None) -> tuple[float, dict]:
     def step(rv, tv):
         kr, kt = sift.extract_pair(rv, tv)
         rc, tc, valid = enhanced_match(kr, kt, 0.85)
-        return rc, tc, valid, kr.num_valid, kt.num_valid
+        return (rc, tc, valid, kr.num_valid, kt.num_valid,
+                kr.dropped_by_cap + kt.dropped_by_cap)
 
     # compile: parallel AOT warmup of the per-octave modules (overlaps XLA
     # C++ compiles across host cores + populates the persistent cache),
@@ -95,9 +96,8 @@ def tpu_time(size: int, runs: int, cfg=None) -> tuple[float, dict]:
         jax.block_until_ready(out)
         times.append(time.time() - t0)
 
-    rc, tc, valid, n_ref, n_tar = out
-    kr = sift.extract(ref)
-    dropped = int(jax.device_get(kr.dropped_by_cap))
+    rc, tc, valid, n_ref, n_tar, dropped = out
+    dropped = int(jax.device_get(dropped))
     info = {
         "compile_s": round(compile_s, 2),
         "warmup_s": round(warmup_s, 2),
