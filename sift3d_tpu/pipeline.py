@@ -2,7 +2,8 @@
 
 Equivalent of CSIFT3D::KpSiftAlgorithm (Src/cSIFT3D.cc:165-235):
 normalise -> Gaussian scale space -> DoG -> detection -> orientation ->
-descriptors, as one jit-compiled program per input shape. All shapes are
+descriptors, staged as a few jit modules per input shape (pyramid build,
+one per big octave, one for the small-octave tail). All shapes are
 static: the octave/level structure is unrolled at trace time from the
 PyramidPlan, and keypoints live in fixed-capacity per-level arrays with
 validity masks (TPUs have no dynamic shapes).
@@ -114,9 +115,9 @@ def _extract_impl(vol: jnp.ndarray, plan: PyramidPlan, constrain=None) -> Keypoi
 def _level_stage(dog_prev, dog_cur, dog_next, gss_level, *, plan, o, i):
     """Detection + orientation + descriptors for one (octave, level).
 
-    Kept as its own jit unit: compiling one module per level is dramatically
-    faster than one end-to-end program (XLA compile time is superlinear in
-    module size), and level modules are reused from the persistent cache.
+    Traced into per-octave(-group) jit modules by _octave_stage: one
+    end-to-end program would blow up XLA compile time (superlinear in
+    module size), per-level modules would pay a dispatch round trip each.
     """
     cfg = plan.cfg
     cap = cfg.cap_for_octave(o)
