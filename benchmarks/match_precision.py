@@ -73,9 +73,8 @@ def main():
         ("HIGHEST", jax.lax.Precision.HIGHEST),
         ("HIGH", jax.lax.Precision.HIGH),
     ):
-        M.SCORE_PRECISION[0] = prec
         res = M.match_descriptors(ref_j, tar_j, rv, tv, args.threshold,
-                                  mode=M.ENHANCED)
+                                  mode=M.ENHANCED, precision=prec)
         jax.block_until_ready(res)
         times = []
         for _ in range(args.runs):
@@ -84,7 +83,7 @@ def main():
             jax.block_until_ready((r2, t2))
             t0 = time.time()
             res = M.match_descriptors(r2, t2, rv, tv, args.threshold,
-                                      mode=M.ENHANCED)
+                                      mode=M.ENHANCED, precision=prec)
             jax.block_until_ready(res)
             times.append(time.time() - t0)
         results[name] = (np.asarray(res.tar_idx), np.asarray(res.valid))
@@ -92,8 +91,6 @@ def main():
             "seconds": round(float(np.median(times)), 4),
             "matches": int(results[name][1].sum()),
         }
-    M.SCORE_PRECISION[0] = jax.lax.Precision.HIGHEST  # restore default
-
     same_valid = bool(np.array_equal(results["HIGHEST"][1], results["HIGH"][1]))
     same_idx = bool(
         np.array_equal(

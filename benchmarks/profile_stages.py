@@ -100,14 +100,15 @@ def main():
     jax.block_until_ready((gss, dog))
     lev = {}
     dl, gl = cfg.dog_levels, cfg.gss_levels
-    for o in range(plan.num_octaves):
-        f = sift._octave_jits[(shape, o)]
-        a = (tuple(dog[o * dl: (o + 1) * dl]),
-             tuple(gss[o * gl + 1: o * gl + dl - 1]))
+    for group in sift._octave_groups(plan):
+        f = sift._octave_jits[(shape, group)]
+        dgs = tuple(tuple(dog[o * dl: (o + 1) * dl]) for o in group)
+        gss_g = tuple(tuple(gss[o * gl + 1: o * gl + dl - 1]) for o in group)
         t0 = time.perf_counter()
-        out = f(*a)
+        out = f(dgs, gss_g)
         jax.block_until_ready(out)
-        lev[f"o{o}"] = round(time.perf_counter() - t0, 4)
+        key = f"o{group[0]}" if len(group) == 1 else f"o{group[0]}-{group[-1]}"
+        lev[key] = round(time.perf_counter() - t0, 4)
 
     if args.trace:
         with jax.profiler.trace(args.trace):

@@ -33,9 +33,11 @@ import jax.numpy as jnp
 INJECT, BIJECT, ENHANCED = 0, 1, 2
 _FLT_MIN = 1.1754943508222875e-38  # FLT_MIN init of the top-2 scan
 
-# Score-matmul precision: HIGHEST = true f32 (6 bf16 MXU passes). HIGH
-# (3 passes, ~2x faster) is a candidate once match-set equality is verified
-# on hardware; flip here to experiment.
+# Default score-matmul precision: HIGHEST = true f32 (6 bf16 MXU passes).
+# HIGH (3 passes, ~2x faster) is a candidate once match-set equality is
+# verified on hardware. NOTE: this is read at trace time — mutating it does
+# not invalidate already-jitted matchers; pass `precision=` explicitly (a
+# static arg) to A/B without jax.clear_caches().
 SCORE_PRECISION = [jax.lax.Precision.HIGHEST]
 
 
@@ -63,6 +65,7 @@ def top2_scores(
     tar_valid: jnp.ndarray,
     row_chunk: int = 1024,
     use_pallas=None,
+    precision=None,
 ) -> Top2:
     """Top-2 dot products per ref row. Invalid targets can never be
     selected. On TPU the tiled Pallas kernel keeps score tiles in VMEM
@@ -70,6 +73,7 @@ def top2_scores(
     score matrices."""
     n = ref_desc.shape[0]
     neg = jnp.float32(-jnp.inf)
+    precision = precision or SCORE_PRECISION[0]
 
     if _use_pallas_top2(use_pallas):
         from .pallas.match_kernel import CM, RN, top2_scores_pallas
@@ -81,7 +85,7 @@ def top2_scores(
         tar_p = jnp.pad(tar_desc, ((0, mp - m), (0, 0)))
         mask = jnp.full(mp, neg).at[:m].set(jnp.where(tar_valid, 0.0, neg))
         s1, s2, i1 = top2_scores_pallas(
-            ref_p, tar_p, mask, SCORE_PRECISION[0],
+            ref_p, tar_p, mask, precision,
             interpret=jax.default_backend() != "tpu",
         )
         s1, s2, i1 = s1[:n], s2[:n], i1[:n]
@@ -95,7 +99,7 @@ def top2_scores(
             rows = jax.lax.dynamic_slice_in_dim(ref_p, i * row_chunk, row_chunk)
             scores = (
                 jnp.dot(rows, tar_desc.T, preferred_element_type=jnp.float32,
-                        precision=SCORE_PRECISION[0]) + tmask
+                        precision=precision) + tmask
             )
             i1 = jnp.argmax(scores, axis=1)
             s1 = jnp.max(scores, axis=1)
@@ -123,7 +127,7 @@ def ratio_filter(t: Top2, threshold) -> jnp.ndarray:
     return (t.i1 >= 0) & ~(t.d1 / t.d2 >= thr2)
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "row_chunk"))
+@functools.partial(jax.jit, static_argnames=("mode", "row_chunk", "precision"))
 def match_descriptors(
     ref_desc: jnp.ndarray,
     tar_desc: jnp.ndarray,
@@ -132,9 +136,11 @@ def match_descriptors(
     threshold: float = 0.85,
     mode: int = ENHANCED,
     row_chunk: int = 1024,
+    precision=None,
 ) -> MatchResult:
     n, m = ref_desc.shape[0], tar_desc.shape[0]
-    fwd = top2_scores(ref_desc, tar_desc, ref_valid, tar_valid, row_chunk)
+    fwd = top2_scores(ref_desc, tar_desc, ref_valid, tar_valid, row_chunk,
+                      precision=precision)
     fwd_valid = ratio_filter(fwd, threshold)
 
     if mode == INJECT:
@@ -147,7 +153,8 @@ def match_descriptors(
     counts = jnp.zeros(m + 1, jnp.int32).at[safe_i1].add(1)[:m]
     tmask = counts > count_thres
 
-    rev = top2_scores(tar_desc, ref_desc, tar_valid & tmask, ref_valid, row_chunk)
+    rev = top2_scores(tar_desc, ref_desc, tar_valid & tmask, ref_valid,
+                      row_chunk, precision=precision)
     rev_valid = ratio_filter(rev, threshold)
     rev_best = jnp.where(rev_valid, rev.i1, -1)
 
