@@ -64,13 +64,16 @@ LANE = 512    # lanes per tile
 TILE = SUB * LANE
 # Kronecker-factor accumulation granularity: rows per G/H build+dot.
 # >1 builds (4|12, GROUP, LANE) factors (full VREG packing); 1 = the
-# original per-sublane-row variant. Must divide SUB. A/B via env var
-# (read at import; the kernel wrapper is jit-cached, so flipping the
-# module global mid-process does not retrace — set the env before import
-# or call jax.clear_caches()).
+# per-sublane-row variant. Must divide SUB. Measured on TPU v5e (256^3
+# pair, EVIDENCE_r2.json ab_accum): GROUP=1 0.717 s vs GROUP=8 1.005 s —
+# the grouped build's (4|12, GR, LANE) concats relayout more than the
+# packed VREGs save, so per-row is the default. A/B via env var (read at
+# import; the kernel wrapper is jit-cached, so flipping the module global
+# mid-process does not retrace — set the env before import or call
+# jax.clear_caches()).
 import os as _os
 
-ACCUM_GROUP = int(_os.environ.get("SIFT3D_ACCUM_GROUP", "8"))
+ACCUM_GROUP = int(_os.environ.get("SIFT3D_ACCUM_GROUP", "1"))
 
 # Face-select dot products on the MXU: hoist the 20 per-face ndots into one
 # (20, 3) @ (3, SUB*LANE) matmul (trades 20x5 VPU ops for 4 relayout

@@ -50,11 +50,31 @@ def _kernel(
         d2_ref[...] = jnp.full((1, RN), jnp.float32(_FLT_MIN))
         i1_ref[...] = jnp.full((1, RN), -1, jnp.int32)
 
-    scores = jax.lax.dot_general(
-        ref_ref[...], tar_ref[...], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    ) + msk_ref[0][None, :]          # (RN, CM)
+    if precision == jax.lax.Precision.HIGH:
+        # Mosaic lowers only DEFAULT/HIGHEST; HIGH (3 bf16 passes) is the
+        # standard f32 split a@b ~= ah@bh + ah@bl + al@bh with x = xh + xl,
+        # xh = bf16(x) — drops only the ll term (~2^-48 relative).
+        a = ref_ref[...]
+        b = tar_ref[...]
+        ah = a.astype(jnp.bfloat16)
+        bh = b.astype(jnp.bfloat16)
+        al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+        bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+        dims = (((1,), (1,)), ((), ()))
+
+        def mm(x, y):
+            return jax.lax.dot_general(
+                x, y, dims, preferred_element_type=jnp.float32,
+            )
+
+        scores = mm(ah, bl) + mm(al, bh) + mm(ah, bh)
+    else:
+        scores = jax.lax.dot_general(
+            ref_ref[...], tar_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+    scores = scores + msk_ref[0][None, :]          # (RN, CM)
 
     col = jax.lax.broadcasted_iota(jnp.int32, (RN, CM), 1)
     t1 = jnp.max(scores, axis=1)                          # (RN,)
