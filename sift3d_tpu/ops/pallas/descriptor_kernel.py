@@ -59,8 +59,18 @@ from jax.experimental.pallas import tpu as pltpu
 from ...config import BARY_EPS
 from ...geometry import ARGMAX_CONST
 
-SUB = 64      # sublane rows per tile (amortises per-grid-step overhead)
-LANE = 512    # lanes per tile
+# Tile shape (SUB sublane rows x LANE lanes, TILE = SUB*LANE voxels).
+# The per-voxel chain is shape-agnostic and the flat voxel order is
+# row-major either way, so the in-kernel gradient shifts work for any
+# (SUB, LANE) with LANE % 128 == 0 and SUB % 8 == 0. Wide-short tiles
+# (8, 4096) run the accumulation loop 8x fewer times with K=4096 MXU
+# dots — the GROUP>1 dot shape without its 3-D factor relayouts.
+# A/B via env var (read at import, like ACCUM_GROUP below).
+import os as _os
+
+SUB, LANE = (
+    int(v) for v in _os.environ.get("SIFT3D_DESC_TILE", "8x4096").split("x")
+)
 TILE = SUB * LANE
 # Kronecker-factor accumulation granularity: rows per G/H build+dot.
 # >1 builds (4|12, GROUP, LANE) factors (full VREG packing); 1 = the
@@ -71,8 +81,6 @@ TILE = SUB * LANE
 # import; the kernel wrapper is jit-cached, so flipping the module global
 # mid-process does not retrace — set the env before import or call
 # jax.clear_caches()).
-import os as _os
-
 ACCUM_GROUP = int(_os.environ.get("SIFT3D_ACCUM_GROUP", "1"))
 
 # Face-select dot products on the MXU: hoist the 20 per-face ndots into one
