@@ -62,14 +62,15 @@ from ...geometry import ARGMAX_CONST
 # Tile shape (SUB sublane rows x LANE lanes, TILE = SUB*LANE voxels).
 # The per-voxel chain is shape-agnostic and the flat voxel order is
 # row-major either way, so the in-kernel gradient shifts work for any
-# (SUB, LANE) with LANE % 128 == 0 and SUB % 8 == 0. Wide-short tiles
-# (8, 4096) run the accumulation loop 8x fewer times with K=4096 MXU
-# dots — the GROUP>1 dot shape without its 3-D factor relayouts.
-# A/B via env var (read at import, like ACCUM_GROUP below).
+# (SUB, LANE) with LANE % 128 == 0 and SUB % 8 == 0. Measured on TPU v5e
+# (256^3 pair): (64, 512) 0.717 s vs (8, 4096) 0.776 s — the VPU/MXU work
+# is identical (only loop trip counts change), and the wide tiles pay more
+# in lane-dim shifts, so tall-thin stays the default. A/B via env var
+# (read at import, like ACCUM_GROUP below).
 import os as _os
 
 SUB, LANE = (
-    int(v) for v in _os.environ.get("SIFT3D_DESC_TILE", "8x4096").split("x")
+    int(v) for v in _os.environ.get("SIFT3D_DESC_TILE", "64x512").split("x")
 )
 TILE = SUB * LANE
 # Kronecker-factor accumulation granularity: rows per G/H build+dot.
@@ -82,6 +83,38 @@ TILE = SUB * LANE
 # mid-process does not retrace — set the env before import or call
 # jax.clear_caches()).
 ACCUM_GROUP = int(_os.environ.get("SIFT3D_ACCUM_GROUP", "1"))
+
+# Accumulation-dot precision: "highest" = f32 (6 bf16 MXU passes),
+# "3pass" = manual a@b ~= ah@bh + ah@bl + al@bh split (drops only the
+# ll term, ~2^-32 relative — far inside the 1e-3 descriptor parity bar),
+# "1pass" = plain bf16 (fails parity, diagnostic only). A/B knob for
+# finding the kernel's VPU/MXU balance.
+ACCUM_PRECISION = _os.environ.get("SIFT3D_ACCUM_PRECISION", "highest")
+
+
+def _accum_dot(G, H):
+    """acc contribution: G (16, L) @ H (48, L)^T at ACCUM_PRECISION."""
+    dims = (((1,), (1,)), ((), ()))
+    if ACCUM_PRECISION == "highest":
+        return jax.lax.dot_general(
+            G, H, dims, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    if ACCUM_PRECISION == "3pass":
+        gh = G.astype(jnp.bfloat16)
+        hh = H.astype(jnp.bfloat16)
+        gl = (G - gh.astype(jnp.float32)).astype(jnp.bfloat16)
+        hl = (H - hh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def mm(x, y):
+            return jax.lax.dot_general(
+                x, y, dims, preferred_element_type=jnp.float32)
+
+        return mm(gh, hl) + mm(gl, hh) + mm(gh, hh)
+    return jax.lax.dot_general(
+        G.astype(jnp.bfloat16), H.astype(jnp.bfloat16), dims,
+        preferred_element_type=jnp.float32,
+    )
 
 # Face-select dot products on the MXU: hoist the 20 per-face ndots into one
 # (20, 3) @ (3, SUB*LANE) matmul (trades 20x5 VPU ops for 4 relayout
