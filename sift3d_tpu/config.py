@@ -70,7 +70,13 @@ class SiftConfig:
     # voxels per step, so their capacity decays by `cap_octave_decay` bits
     # per octave down to `cap_floor` (post-detection stages are vectorised
     # over the full capacity, so oversized caps cost real time).
-    max_kp_per_level: int = 4096
+    #
+    # None = auto-size from the input volume at plan time (resolve_caps):
+    # max(4096, nvox/1024) — the measured full-recall requirement is 16384
+    # at 256^3 and 131072 at 512^3, i.e. ~nvox/1024, and a fixed default
+    # silently drops extrema on big volumes (the reference's std::vector
+    # grows unboundedly, Src/cSIFT3D.cc:417).
+    max_kp_per_level: int | None = None
     cap_octave_decay: int = 3
     cap_floor: int = 512
     # Keypoint batch size for the orientation/descriptor window stages.
@@ -79,7 +85,24 @@ class SiftConfig:
     # elsewhere); True/False forces.
     use_pallas: bool | None = None
 
+    def resolve_caps(self, shape: tuple[int, int, int]) -> "SiftConfig":
+        """Concrete capacities for a volume shape (no-op if already set).
+
+        Auto rule: max(4096, next_pow2(nvox / 1024)) — tracks the measured
+        zero-dropped-extrema requirement (16384 at 256^3, 131072 at 512^3)
+        so default-config users keep full recall at any volume size.
+        """
+        if self.max_kp_per_level is not None:
+            return self
+        nvox = math.prod(shape)
+        cap = max(4096, 1 << max(0, nvox // 1024 - 1).bit_length())
+        return dataclasses.replace(self, max_kp_per_level=cap)
+
     def cap_for_octave(self, octave: int) -> int:
+        if self.max_kp_per_level is None:
+            raise ValueError(
+                "max_kp_per_level is auto (None); resolve it against a "
+                "volume shape first via cfg.resolve_caps(shape) / make_plan")
         cap = self.max_kp_per_level >> (self.cap_octave_decay * octave)
         return max(cap, min(self.cap_floor, self.max_kp_per_level))
 

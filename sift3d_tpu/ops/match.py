@@ -73,7 +73,13 @@ def top2_scores(
     score matrices."""
     n = ref_desc.shape[0]
     neg = jnp.float32(-jnp.inf)
-    precision = precision or SCORE_PRECISION[0]
+    # Canonicalize (strings/ints -> enum) so the kernel's `precision ==
+    # Precision.HIGH` comparison works; `or` would also misroute falsy
+    # values, so test None explicitly.
+    precision = (
+        jax.lax.Precision(precision) if precision is not None
+        else SCORE_PRECISION[0]
+    )
 
     if _use_pallas_top2(use_pallas):
         from .pallas.match_kernel import CM, RN, top2_scores_pallas
@@ -181,6 +187,30 @@ def match_coords(
     return ref_c, tar_c, result.valid
 
 
+# Phase jits for match_descriptors_timed, hoisted to module level so a
+# caller looping over match_descriptors_timed hits the jit cache instead of
+# re-tracing every call (static args key the cache on shapes-independent
+# knobs; shape changes retrace as usual).
+_top2_timed = jax.jit(top2_scores, static_argnames=("row_chunk",))
+_filter_timed = jax.jit(ratio_filter)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "count_thres"))
+def _count_phase(fwd_i1, fwd_valid, m, count_thres):
+    safe_i1 = jnp.where(fwd_valid, fwd_i1, m)
+    counts = jnp.zeros(m + 1, jnp.int32).at[safe_i1].add(1)[:m]
+    return counts > count_thres
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def _biject_phase(fwd_i1, fwd_valid, rev_i1, rev_valid, tmask, m):
+    n = fwd_i1.shape[0]
+    rev_best = jnp.where(rev_valid, rev_i1, -1)
+    j = jnp.clip(fwd_i1, 0, m - 1)
+    keep = fwd_valid & (~tmask[j] | (rev_best[j] == jnp.arange(n)))
+    return MatchResult(tar_idx=jnp.where(keep, fwd_i1, -1), valid=keep)
+
+
 def match_descriptors_timed(
     ref_desc,
     tar_desc,
@@ -204,16 +234,14 @@ def match_descriptors_timed(
     from ..utils.timing import SiftTimer
 
     timer = timer or SiftTimer()
-    n, m = ref_desc.shape[0], tar_desc.shape[0]
-
-    top2_jit = jax.jit(functools.partial(top2_scores, row_chunk=row_chunk))
-    filter_jit = jax.jit(ratio_filter)
+    m = tar_desc.shape[0]
 
     with timer.stage("match"):
-        fwd = top2_jit(ref_desc, tar_desc, ref_valid, tar_valid)
+        fwd = _top2_timed(ref_desc, tar_desc, ref_valid, tar_valid,
+                          row_chunk=row_chunk)
         _jax.block_until_ready(fwd)
     with timer.stage("filter"):
-        fwd_valid = filter_jit(fwd, threshold)
+        fwd_valid = _filter_timed(fwd, threshold)
         _jax.block_until_ready(fwd_valid)
 
     if mode == INJECT:
@@ -224,31 +252,19 @@ def match_descriptors_timed(
 
     count_thres = 0 if mode == BIJECT else 1
 
-    @jax.jit
-    def count_phase(fwd_i1, fwd_valid):
-        safe_i1 = jnp.where(fwd_valid, fwd_i1, m)
-        counts = jnp.zeros(m + 1, jnp.int32).at[safe_i1].add(1)[:m]
-        return counts > count_thres
-
     with timer.stage("countMatched"):
-        tmask = count_phase(fwd.i1, fwd_valid)
+        tmask = _count_phase(fwd.i1, fwd_valid, m, count_thres)
         _jax.block_until_ready(tmask)
     with timer.stage("revMatch"):
-        rev = top2_jit(tar_desc, ref_desc, tar_valid & tmask, ref_valid)
+        rev = _top2_timed(tar_desc, ref_desc, tar_valid & tmask, ref_valid,
+                          row_chunk=row_chunk)
         _jax.block_until_ready(rev)
     with timer.stage("revFilter"):
-        rev_valid = filter_jit(rev, threshold)
+        rev_valid = _filter_timed(rev, threshold)
         _jax.block_until_ready(rev_valid)
 
-    @jax.jit
-    def biject_phase(fwd_i1, fwd_valid, rev_i1, rev_valid, tmask):
-        rev_best = jnp.where(rev_valid, rev_i1, -1)
-        j = jnp.clip(fwd_i1, 0, m - 1)
-        keep = fwd_valid & (~tmask[j] | (rev_best[j] == jnp.arange(n)))
-        return MatchResult(tar_idx=jnp.where(keep, fwd_i1, -1), valid=keep)
-
     with timer.stage("bijectFilter"):
-        result = biject_phase(fwd.i1, fwd_valid, rev.i1, rev_valid, tmask)
+        result = _biject_phase(fwd.i1, fwd_valid, rev.i1, rev_valid, tmask, m)
         _jax.block_until_ready(result)
     return result, timer
 

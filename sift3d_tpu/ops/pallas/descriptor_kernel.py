@@ -86,10 +86,21 @@ ACCUM_GROUP = int(_os.environ.get("SIFT3D_ACCUM_GROUP", "1"))
 
 # Accumulation-dot precision: "highest" = f32 (6 bf16 MXU passes),
 # "3pass" = manual a@b ~= ah@bh + ah@bl + al@bh split (drops only the
-# ll term, ~2^-32 relative — far inside the 1e-3 descriptor parity bar),
-# "1pass" = plain bf16 (fails parity, diagnostic only). A/B knob for
-# finding the kernel's VPU/MXU balance.
+# ll term; with bf16's 8 mantissa bits each residual is ~2^-8 of its
+# operand, so the dropped product is ~2^-16 relative, plus ~2^-16 from
+# rounding the residuals themselves to bf16 — still well inside the 1e-3
+# descriptor parity bar), "1pass" = plain bf16 (fails parity, diagnostic
+# only). A/B knob for finding the kernel's VPU/MXU balance.
 ACCUM_PRECISION = _os.environ.get("SIFT3D_ACCUM_PRECISION", "highest")
+
+# Validate the documented env-knob constraints at import so a bad value
+# fails here, not deep inside Mosaic lowering (or worse: silently skipping
+# rows via SUB // ACCUM_GROUP truncation).
+assert LANE % 128 == 0, f"SIFT3D_DESC_TILE LANE must be a multiple of 128, got {LANE}"
+assert SUB % 8 == 0, f"SIFT3D_DESC_TILE SUB must be a multiple of 8, got {SUB}"
+assert SUB % ACCUM_GROUP == 0, (
+    f"SIFT3D_ACCUM_GROUP ({ACCUM_GROUP}) must divide SUB ({SUB})")
+assert ACCUM_PRECISION in ("highest", "3pass", "1pass"), ACCUM_PRECISION
 
 
 def _accum_dot(G, H):
@@ -380,11 +391,7 @@ def _kernel(
                 H = jnp.concatenate(
                     [Z[k: k + 1] * V for k in range(4)], axis=0
                 ).reshape(48, GR * LANE)
-                acc = acc + jax.lax.dot_general(
-                    G, H, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
+                acc = acc + _accum_dot(G, H)
         else:
             i4 = jax.lax.broadcasted_iota(jnp.int32, (4, LANE), 0)
             i12 = jax.lax.broadcasted_iota(jnp.int32, (12, LANE), 0)
@@ -411,11 +418,7 @@ def _kernel(
                 ) * row(val)  # (12, LANE)
                 G = jnp.concatenate([X[k: k + 1] * Y for k in range(4)], axis=0)
                 H = jnp.concatenate([Z[k: k + 1] * V for k in range(4)], axis=0)
-                acc = acc + jax.lax.dot_general(
-                    G, H, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
+                acc = acc + _accum_dot(G, H)
 
         out_ref[0] = out_ref[0] + acc
 

@@ -53,7 +53,10 @@ def _kernel(
     if precision == jax.lax.Precision.HIGH:
         # Mosaic lowers only DEFAULT/HIGHEST; HIGH (3 bf16 passes) is the
         # standard f32 split a@b ~= ah@bh + ah@bl + al@bh with x = xh + xl,
-        # xh = bf16(x) — drops only the ll term (~2^-48 relative).
+        # xh = bf16(x) — drops only the ll term. bf16 has 8 mantissa bits,
+        # so each residual is ~2^-8 of its operand and the dropped product
+        # is ~2^-16 relative (plus ~2^-16 from rounding the residuals to
+        # bf16) — well inside the match parity tolerance.
         a = ref_ref[...]
         b = tar_ref[...]
         ah = a.astype(jnp.bfloat16)

@@ -52,8 +52,15 @@ def host_local_slice(global_array_shape, mesh: Mesh):
     per-host input pipelines (each host loads only its own slab)."""
     n = mesh.devices.size
     nz = global_array_shape[0]
+    if nz % n != 0:
+        raise ValueError(
+            f"z extent {nz} not divisible by device count {n}; pad the "
+            f"volume (or choose a mesh) so every device gets an equal slab")
     per = nz // n
     procs = jax.process_count()
+    if n % procs != 0:
+        raise ValueError(
+            f"device count {n} not divisible by process count {procs}")
     local = n // procs
     start = jax.process_index() * local * per
     return start, local * per

@@ -204,7 +204,7 @@ class ShardedPallasSIFT3D:
     # -- phase 3: level stages (NO collectives) -----------------------------
 
     def _levels_octave_sharded(self, plan, o):
-        cfg, mesh, n = self.cfg, self.mesh, self.n
+        cfg, mesh, n = plan.cfg, self.mesh, self.n
         dl = cfg.dog_levels
         cap_local = max(cfg.cap_for_octave(o) // n, 128)
 

@@ -161,6 +161,7 @@ def make_plan(cfg: SiftConfig, shape: tuple[int, int, int]) -> PyramidPlan:
     (Src/cUtil.cc:177-235): dims halve (integer division) and units double
     per octave; scale = sigma0 * 2^(o + s/num_kp_levels).
     """
+    cfg = cfg.resolve_caps(shape)
     nz, ny, nx = shape
     noct = cfg.num_octaves((nx, ny, nz))
     if noct < 1:
