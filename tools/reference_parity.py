@@ -1,0 +1,276 @@
+"""Ground-truth parity: the ACTUAL reference binary vs oracle vs TPU.
+
+Every other parity artifact in this repo compares two builder-written
+implementations (NumPy oracle <-> TPU pipeline <-> native/cpu_baseline.cc).
+This harness closes the loop against the reference itself: it builds the
+unmodified C++ reference via tools/reference_build/ (MSVC shims, g++),
+runs it on a synthetic NIfTI pair through its own readNiiFile ->
+KpSiftAlgorithm -> enhancedMatch path, and diffs every dumped intermediate
+(GSS/DoG pyramids, raw detections, accepted keypoints with rotations,
+768-D descriptors, match pairs) against the oracle and the TPU pipeline.
+
+Usage:
+    python tools/reference_parity.py --size 64 [--no-tpu] [--out PARITY_VS_REFERENCE.json]
+
+Writes the JSON report to --out and exits nonzero if any bar is violated:
+detection sets exact, accepted keypoint sets exact, descriptor L2 < 1e-3,
+match pair sets equal.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+import tempfile
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import numpy as np
+
+
+def read_volume_bin(path: Path) -> np.ndarray:
+    with open(path, "rb") as f:
+        ndim = np.fromfile(f, np.int32, 1)[0]
+        dims = np.fromfile(f, np.int32, ndim)
+        return np.fromfile(f, np.float32, int(np.prod(dims))).reshape(dims)
+
+
+def read_keypoints_bin(path: Path):
+    """-> list of dicts with x,y,z,scale,rx,ry,rz,octave,level,rot,desc."""
+    out = []
+    with open(path, "rb") as f:
+        (n,) = np.fromfile(f, np.int32, 1)
+        for _ in range(n):
+            head = np.fromfile(f, np.float32, 7)
+            oi = np.fromfile(f, np.int32, 2)
+            rot = np.fromfile(f, np.float32, 9).reshape(3, 3)
+            desc = np.fromfile(f, np.float32, 768)
+            out.append({
+                "x": head[0], "y": head[1], "z": head[2], "scale": head[3],
+                "rx": head[4], "ry": head[5], "rz": head[6],
+                "octave": int(oi[0]), "level": int(oi[1]),
+                "rot": rot, "desc": desc,
+            })
+    return out
+
+
+def read_detections_bin(path: Path) -> set:
+    keys = set()
+    with open(path, "rb") as f:
+        (nlev,) = np.fromfile(f, np.int32, 1)
+        for _ in range(nlev):
+            o, i, cnt = np.fromfile(f, np.int32, 3)
+            xyz = np.fromfile(f, np.int32, 3 * cnt).reshape(-1, 3)
+            for x, y, z in xyz:
+                keys.add((int(o), int(i), int(z), int(y), int(x)))
+    return keys
+
+
+def read_matches_bin(path: Path) -> np.ndarray:
+    with open(path, "rb") as f:
+        (n,) = np.fromfile(f, np.int32, 1)
+        return np.fromfile(f, np.float32, 6 * n).reshape(-1, 6)
+
+
+def match_set(rows: np.ndarray) -> set:
+    return {tuple(np.round(r, 3)) for r in rows}
+
+
+def kp_key(k) -> tuple:
+    return (k["octave"], k["level"], int(k["z"]), int(k["y"]), int(k["x"]))
+
+
+def compare_against_reference(ref_kps, ref_dets, dump, tag):
+    """Diff one implementation's dump (utils.dump format) vs the reference's
+    keypoints/detections. Returns a report fragment."""
+    rep = {}
+
+    # raw detection set (pre-orientation extrema)
+    if "extrema_keys" in dump:  # oracle exposes all extrema w/ status
+        impl_dets = {
+            tuple(int(v) for v in row[:5]) for row in dump["extrema_keys"]
+        }
+    else:  # tpu dump: every lane that detection emitted (any status != 0)
+        st = dump["kp_status"]
+        xyz = dump["kp_xyz"]
+        o_, l_ = dump["kp_octave"], dump["kp_level"]
+        impl_dets = {
+            (int(o_[i]), int(l_[i]), int(xyz[i, 2]), int(xyz[i, 1]),
+             int(xyz[i, 0]))
+            for i in range(len(st)) if st[i] != 0
+        }
+    rep["detections_ref"] = len(ref_dets)
+    rep["detections_impl"] = len(impl_dets)
+    rep["detections_common"] = len(ref_dets & impl_dets)
+    rep["detections_exact"] = ref_dets == impl_dets
+
+    # accepted keypoints
+    ref_map = {kp_key(k): k for k in ref_kps}
+    if "kp_keys" in dump:  # oracle
+        impl_map = {
+            tuple(int(v) for v in key): (desc, None)
+            for key, desc in zip(dump["kp_keys"], dump["kp_desc"])
+        }
+    else:
+        valid = dump["kp_valid"]
+        xyz = dump["kp_xyz"]
+        o_, l_ = dump["kp_octave"], dump["kp_level"]
+        impl_map = {
+            (int(o_[i]), int(l_[i]), int(xyz[i, 2]), int(xyz[i, 1]),
+             int(xyz[i, 0])): (dump["kp_desc"][i],
+                               dump["kp_rotation"][i])
+            for i in range(len(valid)) if valid[i]
+        }
+    rep["kp_ref"] = len(ref_map)
+    rep["kp_impl"] = len(impl_map)
+    common = set(ref_map) & set(impl_map)
+    rep["kp_common"] = len(common)
+    rep["kp_exact"] = set(ref_map) == set(impl_map)
+
+    worst_desc = 0.0
+    worst_rot = 0.0
+    over_tol = 0
+    for key in common:
+        rk = ref_map[key]
+        desc, rot = impl_map[key]
+        l2 = float(np.linalg.norm(rk["desc"] - desc))
+        if l2 > 1e-3:
+            over_tol += 1
+        worst_desc = max(worst_desc, l2)
+        if rot is not None:
+            worst_rot = max(worst_rot, float(np.max(np.abs(rk["rot"] - rot))))
+    rep["desc_l2_worst"] = worst_desc
+    rep["desc_over_1e3"] = over_tol
+    if worst_rot:
+        rep["rotation_maxabs_worst"] = worst_rot
+    rep["ok"] = (rep["detections_exact"] and rep["kp_exact"]
+                 and worst_desc < 1e-3)
+    return rep
+
+
+def pyramid_diff(outdir: Path, tag, dump, gl, dl, noct):
+    levels = {}
+    for o in range(noct):
+        for i in range(gl):
+            p = outdir / f"gss_{tag}_o{o}_l{i}.bin"
+            if p.exists():
+                ref = read_volume_bin(p)
+                levels[f"gss_{o}_{i}"] = float(
+                    np.max(np.abs(ref - dump[f"gss_{o}_{i}"])))
+        for i in range(dl):
+            p = outdir / f"dog_{tag}_o{o}_l{i}.bin"
+            if p.exists():
+                ref = read_volume_bin(p)
+                levels[f"dog_{o}_{i}"] = float(
+                    np.max(np.abs(ref - dump[f"dog_{o}_{i}"])))
+    return levels
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=64)
+    ap.add_argument("--seeds", type=int, nargs=2, default=(3, 4))
+    ap.add_argument("--threads", type=int, default=4)
+    ap.add_argument("--out", default=str(REPO / "PARITY_VS_REFERENCE.json"))
+    ap.add_argument("--no-tpu", action="store_true",
+                    help="skip the TPU-pipeline comparison (oracle only)")
+    ap.add_argument("--no-pyramids", action="store_true")
+    ap.add_argument("--workdir", default=None)
+    args = ap.parse_args()
+
+    driver = REPO / "tools/reference_build/ref_driver"
+    if not driver.exists():
+        subprocess.run(
+            [str(REPO / "tools/reference_build/build_reference.sh")],
+            check=True)
+
+    from sift3d_tpu.io.nifti import write_nii
+    from sift3d_tpu.oracle import fixtures
+    from sift3d_tpu.utils import dump as D
+
+    workdir = Path(args.workdir or tempfile.mkdtemp(prefix="refparity_"))
+    workdir.mkdir(parents=True, exist_ok=True)
+    shape = (args.size,) * 3
+    vols = {}
+    for tag, seed in zip(("ref", "tar"), args.seeds):
+        vols[tag] = fixtures.smooth_random_volume(shape, seed=seed, smooth=2)
+        write_nii(workdir / f"{tag}.nii", vols[tag])
+
+    cmd = [str(driver), str(workdir / "ref.nii"), str(workdir / "tar.nii"),
+           str(workdir), str(args.threads)]
+    if not args.no_pyramids:
+        cmd.append("--pyramids")
+    print("running:", " ".join(cmd), file=sys.stderr)
+    res = subprocess.run(cmd, capture_output=True, text=True)
+    sys.stderr.write(res.stdout[-2000:] + res.stderr[-2000:])
+    res.check_returncode()
+
+    report = {"size": args.size, "seeds": list(args.seeds),
+              "driver_stdout_tail": res.stdout.strip().splitlines()[-3:],
+              "ok": True}
+
+    from sift3d_tpu.config import SiftConfig
+    cfg = SiftConfig().resolve_caps(shape)
+    gl, dl = cfg.gss_levels, cfg.dog_levels
+    noct = cfg.num_octaves(shape)
+
+    for tag in ("ref", "tar"):
+        ref_kps = read_keypoints_bin(workdir / f"keypoints_{tag}.bin")
+        ref_dets = read_detections_bin(workdir / f"detections_{tag}.bin")
+
+        orc = D.dump_oracle(vols[tag], cfg)
+        frag = {"oracle": compare_against_reference(
+            ref_kps, ref_dets, orc, tag)}
+        if not args.no_pyramids:
+            pyr = pyramid_diff(workdir, tag, orc, gl, dl, noct)
+            frag["oracle"]["pyramid_maxabs_worst"] = (
+                max(pyr.values()) if pyr else None)
+            if pyr and max(pyr.values()) > 1e-4:
+                frag["oracle"]["ok"] = False
+                frag["oracle"]["pyramid_levels"] = {
+                    k: v for k, v in pyr.items() if v > 1e-5}
+
+        if not args.no_tpu:
+            tpu = D.dump_tpu(vols[tag], cfg)
+            frag["tpu"] = compare_against_reference(
+                ref_kps, ref_dets, tpu, tag)
+            if not args.no_pyramids:
+                pyr = pyramid_diff(workdir, tag, tpu, gl, dl, noct)
+                frag["tpu"]["pyramid_maxabs_worst"] = (
+                    max(pyr.values()) if pyr else None)
+                if pyr and max(pyr.values()) > 1e-4:
+                    frag["tpu"]["ok"] = False
+                    frag["tpu"]["pyramid_levels"] = {
+                        k: v for k, v in pyr.items() if v > 1e-5}
+        report[tag] = frag
+        for impl in frag.values():
+            report["ok"] = report["ok"] and impl["ok"]
+
+    # matches: reference binary vs our enhanced_match on our own extraction
+    ref_matches = read_matches_bin(workdir / "matches.bin")
+    report["matches_ref"] = int(ref_matches.shape[0])
+    if not args.no_tpu:
+        from sift3d_tpu.pipeline import SIFT3D, enhanced_match
+
+        sift = SIFT3D(cfg)
+        kr = sift.extract(vols["ref"])
+        kt = sift.extract(vols["tar"])
+        rc, tc, valid = enhanced_match(kr, kt, 0.85)
+        v = np.asarray(valid)
+        ours = np.concatenate(
+            [np.asarray(rc)[v], np.asarray(tc)[v]], axis=1)
+        report["matches_tpu"] = int(v.sum())
+        report["matches_equal"] = match_set(ref_matches) == match_set(ours)
+        report["ok"] = report["ok"] and report["matches_equal"]
+
+    Path(args.out).write_text(json.dumps(report, indent=1))
+    print(json.dumps(report, indent=1))
+    sys.exit(0 if report["ok"] else 1)
+
+
+if __name__ == "__main__":
+    main()
