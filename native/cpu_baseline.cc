@@ -536,7 +536,10 @@ int match_count(const std::vector<Keypoint> &ref, const std::vector<Keypoint> &t
       else if (s > d2) d2 = s;
     }
     fwd[i] = i1;
-    fwd_ok[i] = i1 >= 0 && ((2 - 2 * d1) / (2 - 2 * d2) < thr2);
+    // index-0 quirk: the reference's negate-to-reject (gIdx *= -1,
+    // Src/cMatcher.cc:93) cannot reject target index 0, so a best-match
+    // to tar[0] survives the ratio test unconditionally.
+    fwd_ok[i] = i1 >= 0 && (i1 == 0 || (2 - 2 * d1) / (2 - 2 * d2) < thr2);
   }
   // enhanced: ambiguous targets need reverse agreement
   std::vector<int> counts(m, 0);
@@ -554,13 +557,16 @@ int match_count(const std::vector<Keypoint> &ref, const std::vector<Keypoint> &t
       if (s > d1) { d2 = d1; d1 = s; i1 = i; }
       else if (s > d2) d2 = s;
     }
-    if (i1 >= 0 && (2 - 2 * d1) / (2 - 2 * d2) < thr2) rev[j] = i1;
+    // index-0 quirk again: a reverse best of ref[0] survives the reverse
+    // ratio filter (its stored index negates to itself).
+    if (i1 >= 0 && (i1 == 0 || (2 - 2 * d1) / (2 - 2 * d2) < thr2)) rev[j] = i1;
   }
   int kept = 0;
   for (int i = 0; i < n; ++i) {
     if (!fwd_ok[i]) continue;
     int j = fwd[i];
-    if (counts[j] > 1 && rev[j] != i) continue;
+    // j == 0 cannot be rejected by bijectFilter's *= -1 (Src/cMatcher.cc:141)
+    if (j != 0 && counts[j] > 1 && rev[j] != i) continue;
     kept++;
   }
   return kept;

@@ -127,13 +127,26 @@ def top2_scores(
     )
 
 
-def ratio_filter(t: Top2, threshold) -> jnp.ndarray:
-    """Validity after the ratio test (filter, Src/cMatcher.cc:81-97)."""
+def ratio_filter(t: Top2, threshold, index0_quirk: bool = True) -> jnp.ndarray:
+    """Validity after the ratio test (filter, Src/cMatcher.cc:81-97).
+
+    index0_quirk replicates the reference's negate-to-reject encoding
+    (``gIdx_[i] *= -1``, Src/cMatcher.cc:93): negating index 0 is a no-op,
+    so a match whose best target is index 0 can never be rejected by the
+    ratio test. Verified against the actual reference binary
+    (tools/reference_parity.py): at 64^3 two ref keypoints whose best
+    target was tar[0] failed the ratio test (d1/d2 = 0.98, 0.94) yet
+    appear in the reference's enhancedMatch output. Pass False for the
+    strict explicit-validity semantics."""
     thr2 = jnp.float32(threshold) * jnp.float32(threshold)
-    return (t.i1 >= 0) & ~(t.d1 / t.d2 >= thr2)
+    passed = ~(t.d1 / t.d2 >= thr2)
+    if index0_quirk:
+        passed = passed | (t.i1 == 0)
+    return (t.i1 >= 0) & passed
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "row_chunk", "precision"))
+@functools.partial(jax.jit, static_argnames=(
+    "mode", "row_chunk", "precision", "index0_quirk"))
 def match_descriptors(
     ref_desc: jnp.ndarray,
     tar_desc: jnp.ndarray,
@@ -143,11 +156,12 @@ def match_descriptors(
     mode: int = ENHANCED,
     row_chunk: int = 1024,
     precision=None,
+    index0_quirk: bool = True,
 ) -> MatchResult:
     n, m = ref_desc.shape[0], tar_desc.shape[0]
     fwd = top2_scores(ref_desc, tar_desc, ref_valid, tar_valid, row_chunk,
                       precision=precision)
-    fwd_valid = ratio_filter(fwd, threshold)
+    fwd_valid = ratio_filter(fwd, threshold, index0_quirk)
 
     if mode == INJECT:
         return MatchResult(
@@ -161,13 +175,19 @@ def match_descriptors(
 
     rev = top2_scores(tar_desc, ref_desc, tar_valid & tmask, ref_valid,
                       row_chunk, precision=precision)
-    rev_valid = ratio_filter(rev, threshold)
+    rev_valid = ratio_filter(rev, threshold, index0_quirk)
     rev_best = jnp.where(rev_valid, rev.i1, -1)
 
     j = jnp.clip(fwd.i1, 0, m - 1)
     ambiguous = tmask[j]
     agrees = rev_best[j] == jnp.arange(n)
     keep = fwd_valid & (~ambiguous | agrees)
+    if index0_quirk:
+        # bijectFilter's negate-to-reject (refIdx_[i] *= -1,
+        # Src/cMatcher.cc:141) is likewise a no-op when the stored target
+        # index is 0: a kept forward match to tar[0] survives the reverse
+        # disagreement test unconditionally.
+        keep = keep | (fwd_valid & (fwd.i1 == 0))
     return MatchResult(tar_idx=jnp.where(keep, fwd.i1, -1), valid=keep)
 
 
@@ -192,7 +212,7 @@ def match_coords(
 # re-tracing every call (static args key the cache on shapes-independent
 # knobs; shape changes retrace as usual).
 _top2_timed = jax.jit(top2_scores, static_argnames=("row_chunk",))
-_filter_timed = jax.jit(ratio_filter)
+_filter_timed = jax.jit(ratio_filter, static_argnames=("index0_quirk",))
 
 
 @functools.partial(jax.jit, static_argnames=("m", "count_thres"))
@@ -202,12 +222,15 @@ def _count_phase(fwd_i1, fwd_valid, m, count_thres):
     return counts > count_thres
 
 
-@functools.partial(jax.jit, static_argnames=("m",))
-def _biject_phase(fwd_i1, fwd_valid, rev_i1, rev_valid, tmask, m):
+@functools.partial(jax.jit, static_argnames=("m", "index0_quirk"))
+def _biject_phase(fwd_i1, fwd_valid, rev_i1, rev_valid, tmask, m,
+                  index0_quirk=True):
     n = fwd_i1.shape[0]
     rev_best = jnp.where(rev_valid, rev_i1, -1)
     j = jnp.clip(fwd_i1, 0, m - 1)
     keep = fwd_valid & (~tmask[j] | (rev_best[j] == jnp.arange(n)))
+    if index0_quirk:  # see match_descriptors (Src/cMatcher.cc:141)
+        keep = keep | (fwd_valid & (fwd_i1 == 0))
     return MatchResult(tar_idx=jnp.where(keep, fwd_i1, -1), valid=keep)
 
 
@@ -294,6 +317,9 @@ def threshold_sweep(
         rev_best = jnp.where(rev_valid, rev_full.i1, -1)
         j = jnp.clip(fwd.i1, 0, m - 1)
         keep = fwd_valid & (~tmask[j] | (rev_best[j] == jnp.arange(n)))
+        # index-0 quirk (see match_descriptors): a kept forward match to
+        # tar[0] survives bijectFilter unconditionally.
+        keep = keep | (fwd_valid & (fwd.i1 == 0))
         return keep
 
     return jax.vmap(at_threshold)(thresholds)

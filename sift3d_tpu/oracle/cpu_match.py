@@ -10,9 +10,14 @@ Semantics replicated:
 - bijectFilter (Src/cMatcher.cc:133-144): reject ref i when its target is
   masked and the target's best reverse match is not i.
 
-Deviation (documented): the reference marks a rejected match by negating its
-index (``gIdx *= -1``), which cannot mark index 0 as rejected; we track
-validity with an explicit boolean, i.e. index-0 rejections actually reject.
+Index-0 quirk (replicated by default): the reference marks a rejected match
+by negating its index (``gIdx *= -1``, Src/cMatcher.cc:93 and :141), which
+is a no-op for index 0 — a forward match to target 0 can never be rejected
+by the ratio test or the biject disagreement test, and a reverse match to
+ref 0 can never be rejected by the reverse ratio test. Verified against the
+actual reference binary (tools/reference_parity.py): the reference's 64^3
+enhancedMatch output contains ratio-test failures whose best target is
+tar[0]. Pass ``index0_quirk=False`` for strict explicit-validity semantics.
 """
 
 from __future__ import annotations
@@ -47,12 +52,16 @@ def cal_matches(ref_desc: np.ndarray, tar_desc: np.ndarray, mask: np.ndarray | N
     return d1, d2, i1.astype(np.int64), i2.astype(np.int64)
 
 
-def ratio_filter(i1: np.ndarray, d1: np.ndarray, d2: np.ndarray, threshold: float):
-    """Boolean validity after the ratio test."""
+def ratio_filter(i1: np.ndarray, d1: np.ndarray, d2: np.ndarray,
+                 threshold: float, index0_quirk: bool = True):
+    """Boolean validity after the ratio test (index-0 quirk: see module
+    docstring)."""
     thr2 = float(threshold) * float(threshold)
     valid = i1 >= 0
     with np.errstate(divide="ignore", invalid="ignore"):
         reject = (d1 / d2) >= thr2
+    if index0_quirk:
+        reject = reject & (i1 != 0)
     return valid & ~reject
 
 
@@ -61,11 +70,12 @@ def match(
     tar_desc: np.ndarray,
     threshold: float = 0.85,
     mode: int = ENHANCED,
+    index0_quirk: bool = True,
 ):
     """Returns (ref_indices, tar_indices) of surviving pairs, in ref order."""
     n, m = ref_desc.shape[0], tar_desc.shape[0]
     d1, d2, i1, _ = cal_matches(ref_desc, tar_desc)
-    fwd_valid = ratio_filter(i1, d1, d2, threshold)
+    fwd_valid = ratio_filter(i1, d1, d2, threshold, index0_quirk)
 
     if mode != INJECT:
         count_thres = 0 if mode == BIJECT else 1
@@ -73,7 +83,7 @@ def match(
         tmask = (counts > count_thres).astype(np.int64)
 
         rd1, rd2, ri1, _ = cal_matches(tar_desc, ref_desc, mask=tmask)
-        rev_valid = ratio_filter(ri1, rd1, rd2, threshold)
+        rev_valid = ratio_filter(ri1, rd1, rd2, threshold, index0_quirk)
         ri1_eff = np.where(rev_valid, ri1, -1)
 
         keep = fwd_valid.copy()
@@ -81,6 +91,8 @@ def match(
             if not fwd_valid[i]:
                 continue
             j = i1[i]
+            if index0_quirk and j == 0:
+                continue  # bijectFilter's *= -1 cannot reject index 0
             if tmask[j] == 0:
                 continue
             if ri1_eff[j] != i:

@@ -484,8 +484,11 @@ def extract_descriptor(kp: OracleKeypoint, level: Level) -> None:
         sq = dx * dx + dy * dy + dz * dz
         in_sphere = sq <= win_radius * win_radius
 
-        R = kp.rotation  # (3,3) columns [v1 v2 vr]; reference transposes it
-        Rt = R.T.astype(F32)
+        # Invert the rotation in place exactly like the reference
+        # (Transpose_Matrix(kp.Rotation), Src/cSIFT3D.cc:1214): the stored
+        # keypoint rotation is the descriptor-frame R^T from here on.
+        kp.rotation = kp.rotation.T.astype(F32)
+        Rt = kp.rotation
         disp = np.stack([dx, dy, dz], axis=-1)          # (..., 3)
         vrot = disp @ Rt.T                               # Rt @ disp per voxel
         vbins = (vrot + desc_hw) * desc_bin_fctr - F32(0.5)

@@ -43,6 +43,10 @@ class KeypointSet(NamedTuple):
 
     xyz: jnp.ndarray       # (K, 3) int32 — x, y, z level coords
     rxyz: jnp.ndarray      # (K, 3) f32 — original-image coords (x*2^octave)
+    # rotation holds the DESCRIPTOR-frame matrix (R^T of the orientation
+    # output [v1 v2 v1xv2]) — the form the reference's GetKeypoints()
+    # observably returns after Extract_Descriptor_Imp's in-place transpose
+    # (Src/cSIFT3D.cc:1214).
     octave: jnp.ndarray    # (K,) int32
     level: jnp.ndarray     # (K,) int32
     scale: jnp.ndarray     # (K,) f32
@@ -165,7 +169,13 @@ def _orient_describe(det, gss_pad, *, plan, o, i, z_off=0):
         octave=jnp.full((cap,), o, jnp.int32),
         level=jnp.full((cap,), i, jnp.int32),
         scale=jnp.full((cap,), meta.scale, jnp.float32),
-        rotation=ori.rotation,
+        # The reference's observable Keypoint.Rotation is the DESCRIPTOR-
+        # frame matrix: Extract_Descriptor_Imp transposes the orientation
+        # matrix in place before use (Src/cSIFT3D.cc:1214) and never
+        # restores it, so GetKeypoints() returns R^T of the orientation
+        # output. Store the same form (verified against the reference
+        # binary by tools/reference_parity.py).
+        rotation=jnp.swapaxes(ori.rotation, 1, 2),
         desc=desc.desc,
         status=ori.status,
         valid=accepted,

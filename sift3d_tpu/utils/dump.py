@@ -141,7 +141,9 @@ def descriptor_voxel_trace(kp, level) -> dict[str, np.ndarray]:
         "dvbins": np.zeros((n, 3), F32),
         "offsets": np.full((n, 8, 3), -1, np.int32),
         "accum": np.zeros((n, 8, 3), F32),
-        "rotation": kp.rotation.T.astype(F32),  # the reference uses R^T
+        # post-descriptor keypoints already hold the descriptor-frame R^T
+        # (the reference's in-place Transpose_Matrix, Src/cSIFT3D.cc:1214)
+        "rotation": kp.rotation.astype(F32),
     }
 
     dx = (xs.astype(F32) - cx) * u
@@ -150,7 +152,7 @@ def descriptor_voxel_trace(kp, level) -> dict[str, np.ndarray]:
     sq = dx * dx + dy * dy + dz * dz
     alive = sq <= win_radius * win_radius  # sphere test precedes capture
 
-    Rt = kp.rotation.T.astype(F32)
+    Rt = kp.rotation.astype(F32)  # already descriptor-frame (see above)
     disp = np.stack([dx, dy, dz], -1)
     vrot_pos = disp @ Rt.T
     vbins = (vrot_pos + desc_hw) * desc_bin_fctr - F32(0.5)
