@@ -53,7 +53,7 @@ def tpu_time(size: int, runs: int, cfg=None) -> tuple[float, dict]:
     from sift3d_tpu import SIFT3D, SiftConfig, enhanced_match
     from sift3d_tpu.oracle import fixtures
 
-    cfg = cfg or SiftConfig(max_kp_per_level=4096)
+    cfg = cfg or SiftConfig()  # auto caps: full recall at any size
     shape = (size, size, size)
     # Volumes resident on device before timing: the benchmark measures
     # extract+match, not host->device transfer bandwidth. Both volumes go
@@ -108,6 +108,104 @@ def tpu_time(size: int, runs: int, cfg=None) -> tuple[float, dict]:
         "times": [round(t, 4) for t in times],
     }
     return float(np.median(times)), info
+
+
+def reference_time(size: int) -> dict | None:
+    """Wall-clock + per-stage timers of the ACTUAL reference binary
+    (tools/reference_build/ref_driver — the unmodified MSVC sources built
+    with g++/OpenMP) on the bench pair, at 1/2/4 threads.
+
+    Returns the cache entry: per-thread-count stage timers, a per-stage
+    Amdahl fit t(n) = a + b/n extrapolated to 32 threads (`modeled_32t_s`),
+    and the perfect-scaling floor t(1)/32 (`perfect_32t_s`). The modeled
+    number is the honest BASELINE denominator: the reference's serial
+    fractions are measured, not assumed away; the perfect floor is the most
+    conservative bound. Cached in BENCH_CPU_CACHE.json.
+    """
+    import re
+    import subprocess
+    import tempfile
+
+    cache = json.loads(CACHE.read_text()) if CACHE.exists() else {}
+    key = f"reference_{size}"
+    if key in cache:
+        return cache[key]
+
+    driver = Path(__file__).parent / "tools/reference_build/ref_driver"
+    if not driver.exists():
+        build = Path(__file__).parent / "tools/reference_build/build_reference.sh"
+        try:
+            subprocess.run([str(build)], check=True, capture_output=True)
+        except Exception:
+            return None
+
+    from sift3d_tpu.io.nifti import write_nii
+
+    ref, tar = bench_pair((size,) * 3)
+    d = tempfile.mkdtemp()
+    write_nii(f"{d}/ref.nii", ref)
+    write_nii(f"{d}/tar.nii", tar)
+
+    entry = {"threads": {}}
+    for t in (1, 2, 4):
+        t0 = time.time()
+        out = subprocess.run(
+            [str(driver), f"{d}/ref.nii", f"{d}/tar.nii", d, str(t)],
+            capture_output=True, text=True, check=True,
+        )
+        wall = time.time() - t0
+        stages: dict[str, float] = {}
+        for m in re.finditer(
+            r"\[(ref|tar)\] timers: alloc=([\d.]+) gss=([\d.]+) dog=([\d.]+) "
+            r"detect=([\d.]+) orient=([\d.]+) desc=([\d.]+)", out.stdout
+        ):
+            for name, val in zip(
+                ("alloc", "gss", "dog", "detect", "orient", "desc"),
+                m.groups()[1:],
+            ):
+                stages[name] = stages.get(name, 0.0) + float(val)
+        mm = re.search(r"match timers: .*total=([\d.]+)", out.stdout)
+        if mm:
+            stages["match"] = float(mm.group(1))
+        km = re.search(r"ref_kps=(\d+) tar_kps=(\d+) matches=(\d+)", out.stdout)
+        entry["threads"][str(t)] = {
+            "wall_s": round(wall, 3),
+            "stages": {k: round(v, 3) for k, v in stages.items()},
+            "compute_s": round(sum(stages.values()), 3),
+        }
+        if km:
+            entry["counts"] = {
+                "ref_kps": int(km.group(1)), "tar_kps": int(km.group(2)),
+                "matches": int(km.group(3)),
+            }
+
+    # Amdahl fit per stage on n in {1,2,4}: t(n) = a + b/n  (least squares,
+    # a clamped at 0). The matcher ignores SetNumThreads (it always uses
+    # omp_get_num_procs()), so scale its serial share the same way.
+    modeled = 0.0
+    fits = {}
+    names = set()
+    for v in entry["threads"].values():
+        names.update(v["stages"])
+    for name in sorted(names):
+        ns = np.array([1.0, 2.0, 4.0])
+        ts = np.array([entry["threads"][str(int(n))]["stages"].get(name, 0.0)
+                       for n in ns])
+        A = np.stack([np.ones_like(ns), 1.0 / ns], axis=1)
+        a, b = np.linalg.lstsq(A, ts, rcond=None)[0]
+        a = max(a, 0.0)
+        t32 = a + b / 32.0
+        fits[name] = {"serial_s": round(float(a), 3),
+                      "parallel_s": round(float(b), 3),
+                      "t32_s": round(float(t32), 3)}
+        modeled += t32
+    entry["stage_fits"] = fits
+    entry["modeled_32t_s"] = round(float(modeled), 3)
+    entry["perfect_32t_s"] = round(
+        entry["threads"]["1"]["compute_s"] / 32.0, 3)
+    cache[key] = entry
+    CACHE.write_text(json.dumps(cache, indent=1))
+    return entry
 
 
 def cpu_oracle_time(size: int) -> float:
@@ -197,9 +295,10 @@ def main():
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--skip-cpu", action="store_true")
     ap.add_argument(
-        "--kp-cap", type=int, default=16384,
-        help="per-level keypoint capacity; must exceed the densest level's "
-        "extremum count for full recall parity with the uncapped reference",
+        "--kp-cap", type=int, default=None,
+        help="per-level keypoint capacity; default auto-sizes from the "
+        "volume (max(4096, nvox/1024)) for full recall parity with the "
+        "uncapped reference (16384 at 256^3)",
     )
     args = ap.parse_args()
 
@@ -231,6 +330,21 @@ def main():
             scaled = p32 * (args.size / measure) ** 3
             info["cpu_32t_projected_s"] = round(scaled, 3)
             info["vs_32t_projection"] = round(scaled / value, 2)
+
+        # The actual reference binary (the true BASELINE denominator):
+        # measured at 1/2/4 threads, Amdahl-modeled to 32.
+        ref_entry = reference_time(min(args.size, 256))
+        if ref_entry:
+            s3 = (args.size / min(args.size, 256)) ** 3
+            r4 = ref_entry["threads"]["4"]["compute_s"] * s3
+            rm = ref_entry["modeled_32t_s"] * s3
+            rp = ref_entry["perfect_32t_s"] * s3
+            info["ref_binary_4t_s"] = round(r4, 3)
+            info["ref_binary_modeled_32t_s"] = round(rm, 3)
+            info["ref_binary_perfect_32t_s"] = round(rp, 3)
+            info["vs_ref_binary_4t"] = round(r4 / value, 2)
+            info["vs_ref_binary_modeled_32t"] = round(rm / value, 2)
+            info["vs_ref_binary_perfect_32t"] = round(rp / value, 2)
 
     print(
         json.dumps(

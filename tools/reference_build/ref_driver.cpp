@@ -165,8 +165,10 @@ int main(int argc, char **argv) {
     write_matches(outdir + "/matches.bin", mref, mtar);
     printf("ref_kps=%zu tar_kps=%zu matches=%zu\n",
            ref_kps.size(), tar_kps.size(), mref.size());
-    printf("match timers: match=%.1f filter=%.1f count=%.1f rev=%.1f "
-           "revFilter=%.1f biject=%.1f total=%.1f (ms)\n",
+    // muBruteMatcher's phase counters are omp_get_wtime() differences,
+    // i.e. seconds (Src/cMatcher.cc:163-213).
+    printf("match timers: match=%.3f filter=%.3f count=%.3f rev=%.3f "
+           "revFilter=%.3f biject=%.3f total=%.3f (s)\n",
            matcher.matchTime, matcher.filterTime, matcher.countMatchedTime,
            matcher.revMatchTime, matcher.revFilterTime,
            matcher.bijectFilterTime, matcher.totalTime);
