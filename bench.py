@@ -148,10 +148,19 @@ def reference_time(size: int) -> dict | None:
 
     entry = {"threads": {}}
     for t in (1, 2, 4):
+        # OMP_NUM_THREADS drives the plain `#pragma omp parallel for`
+        # GSS/DoG/permute loops (Src/cSIFT3D.cc:682,824,867,514) AND the
+        # default of sift_thread_num (= omp_get_max_threads(), :33) that
+        # the orientation/descriptor loops use; the driver's nthreads arg
+        # alone would leave GSS at all cores. The matcher ignores both
+        # (omp_get_num_procs(), Src/cMatcher.cc:26).
+        import os as _os
+
+        env = dict(_os.environ, OMP_NUM_THREADS=str(t))
         t0 = time.time()
         out = subprocess.run(
-            [str(driver), f"{d}/ref.nii", f"{d}/tar.nii", d, str(t)],
-            capture_output=True, text=True, check=True,
+            [str(driver), f"{d}/ref.nii", f"{d}/tar.nii", d],
+            capture_output=True, text=True, check=True, env=env,
         )
         wall = time.time() - t0
         stages: dict[str, float] = {}

@@ -37,8 +37,16 @@ _FLT_MIN = 1.1754943508222875e-38  # FLT_MIN init of the top-2 scan
 # HIGH (3 passes, ~2x faster) is a candidate once match-set equality is
 # verified on hardware. NOTE: this is read at trace time — mutating it does
 # not invalidate already-jitted matchers; pass `precision=` explicitly (a
-# static arg) to A/B without jax.clear_caches().
-SCORE_PRECISION = [jax.lax.Precision.HIGHEST]
+# static arg) to A/B without jax.clear_caches(). The env knob (read at
+# import, like the descriptor-kernel knobs) exists for whole-pipeline A/Bs
+# via benchmarks/ab_knobs.py.
+import os as _os
+
+SCORE_PRECISION = [
+    jax.lax.Precision.HIGH
+    if _os.environ.get("SIFT3D_MATCH_PRECISION", "highest") == "high"
+    else jax.lax.Precision.HIGHEST
+]
 
 
 class Top2(NamedTuple):
