@@ -28,7 +28,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 KNOBS = ("SIFT3D_ACCUM_PRECISION", "SIFT3D_ACCUM_GROUP", "SIFT3D_DESC_TILE",
          "SIFT3D_FACE_MXU", "SIFT3D_BLUR_PRECISION", "SIFT3D_MATCH_PRECISION",
-         "USE_PALLAS_BLUR")
+         "USE_PALLAS_BLUR", "SIFT3D_KP_BLOCK", "SIFT3D_FACE_SELECT")
 
 
 def main():
@@ -53,7 +53,9 @@ def main():
 
     shape = (args.size,) * 3
     ref_np, tar_np = bench_pair(shape)
-    sift = SIFT3D(SiftConfig())
+    kp_block = int(os.environ.get("SIFT3D_KP_BLOCK", "0"))
+    cfg = SiftConfig(kp_block=kp_block) if kp_block else SiftConfig()
+    sift = SIFT3D(cfg)
     sift.warmup(shape, pair=True)
 
     def step(rv, tv):

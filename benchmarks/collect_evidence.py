@@ -1,8 +1,11 @@
-"""Collect the TPU evidence-suite logs (/tmp/ev_*.log) into committed JSON.
+"""Collect the TPU evidence-suite logs (/tmp/ev_*.log, /tmp/ab_*.log) into
+committed JSON.
 
-Run after benchmarks/run_all_tpu.sh. Writes EVIDENCE_r2.json at the repo
-root summarising: 256^3 bench, 512^3 bench, 50k matcher scale + sweep
-equality, precision A/B, kernel A/Bs, roofline pointer.
+Run after benchmarks/run_all_tpu.sh (and/or individual benchmarks/ab_knobs
+runs). Writes EVIDENCE_r3.json at the repo root summarising: 256^3 / 512^3
+bench, 50k matcher scale + threshold sweep, match-precision timing, every
+parity-gated kernel A/B, the stage profile, the roofline, and the
+reference-binary thread-scaling measurement (from BENCH_CPU_CACHE.json).
 """
 
 from __future__ import annotations
@@ -17,10 +20,15 @@ LOGS = {
     "bench_512": "/tmp/ev_bench512.log",
     "match_50k": "/tmp/ev_match50k.log",
     "match_precision": "/tmp/ev_matchprec.log",
-    "ab_face_mxu": "/tmp/ev_ab_facemxu.log",
-    "ab_accum_group1": "/tmp/ev_ab_accum1.log",
-    "ab_blur_high": "/tmp/ev_ab_blurhigh.log",
     "stage_profile": "/tmp/ev_stages.log",
+    # parity-gated A/Bs (benchmarks/ab_knobs.py): kp/match sets must equal
+    # the recorded baseline for the run to exit 0.
+    "ab_accum_3pass": "/tmp/ab_3pass.log",
+    "ab_match_high": "/tmp/ab_matchhigh.log",
+    "ab_blur_high": "/tmp/ab_blurhigh.log",
+    "ab_face_mxu": "/tmp/ab_facemxu.log",
+    "ab_kp_block": "/tmp/ab_kpblock.log",
+    "ab_desc_tile": "/tmp/ab_desctile.log",
 }
 
 
@@ -35,7 +43,6 @@ def last_json_line(path: str):
             try:
                 out = json.loads(line)
             except json.JSONDecodeError:
-                # stage profile prints a multi-line json dict
                 pass
     if out is None:
         txt = p.read_text()
@@ -54,10 +61,20 @@ def main():
         val = last_json_line(path)
         if val is not None:
             ev[key] = val
-    roof = REPO / "ROOFLINE.json"
-    if roof.exists():
-        ev["roofline"] = json.loads(roof.read_text())
-    out = REPO / "EVIDENCE_r2.json"
+    for name, key in (("ROOFLINE.json", "roofline"),
+                      ("SCALING_r03.json", "scaling"),
+                      ("PARITY_VS_REFERENCE.json", "parity_vs_reference_64"),
+                      ("PARITY_VS_REFERENCE_128.json",
+                       "parity_vs_reference_128")):
+        p = REPO / name
+        if p.exists():
+            ev[key] = json.loads(p.read_text())
+    cache = REPO / "BENCH_CPU_CACHE.json"
+    if cache.exists():
+        c = json.loads(cache.read_text())
+        if "reference_256" in c:
+            ev["reference_binary_256"] = c["reference_256"]
+    out = REPO / "EVIDENCE_r3.json"
     out.write_text(json.dumps(ev, indent=1))
     print(f"wrote {out} with sections: {sorted(ev)}")
 

@@ -90,8 +90,10 @@ ACCUM_GROUP = int(_os.environ.get("SIFT3D_ACCUM_GROUP", "1"))
 # operand, so the dropped product is ~2^-16 relative, plus ~2^-16 from
 # rounding the residuals themselves to bf16 — still well inside the 1e-3
 # descriptor parity bar), "1pass" = plain bf16 (fails parity, diagnostic
-# only). A/B knob for finding the kernel's VPU/MXU balance.
-ACCUM_PRECISION = _os.environ.get("SIFT3D_ACCUM_PRECISION", "highest")
+# only). Default 3pass: the TPU v5e A/B (benchmarks/ab_knobs.py, 256^3
+# pair) measured 0.728 s -> 0.695 s with identical keypoint AND match sets
+# and max descriptor delta 3.3e-7 (EVIDENCE_r3 ab_accum_3pass).
+ACCUM_PRECISION = _os.environ.get("SIFT3D_ACCUM_PRECISION", "3pass")
 
 # Validate the documented env-knob constraints at import so a bad value
 # fails here, not deep inside Mosaic lowering (or worse: silently skipping
@@ -130,8 +132,21 @@ def _accum_dot(G, H):
 # Face-select dot products on the MXU: hoist the 20 per-face ndots into one
 # (20, 3) @ (3, SUB*LANE) matmul (trades 20x5 VPU ops for 4 relayout
 # reshapes + one tiny-K matmul). Constant selection stays in the fold loop
-# (exact first-wins tie semantics). A/B knob; 0 = all-VPU loop.
+# (exact first-wins tie semantics). A/B knob; 0 = all-VPU loop. Measured on
+# TPU v5e (256^3 pair, EVIDENCE_r3 ab_face_mxu): 0.80 s vs 0.728 s AND a
+# parity failure (desc delta 1.6e-2 — matmul rounding flips face-edge
+# voxels), so the VPU loop stays the default.
 FACE_MXU = _os.environ.get("SIFT3D_FACE_MXU", "0") == "1"
+
+# Face-dot formulation: "ndot" = 20 independent 3-term dot products;
+# "shared" exploits the icosahedral normals' structure — each axis
+# component is one of only 3 magnitudes {0.3568, 0.5774, 0.9342}, so the 9
+# products m*g_axis are computed once and each face dot becomes 1-2 adds
+# (8 corner faces have 3 nonzero terms, 12 faces have 2). Term order and
+# signed-zero handling match the ndot left-to-right order exactly, so the
+# result is bit-identical unless the compiler was contracting the ndot
+# mul+add chains into FMAs (the parity-gated A/B decides).
+FACE_SELECT = _os.environ.get("SIFT3D_FACE_SELECT", "ndot")
 
 SENTINEL = 1 << 20  # offset-map value for positions with no contribution
 
@@ -300,6 +315,31 @@ def _kernel(
 
             def ndot(i):
                 return D3[i]
+        elif FACE_SELECT == "shared":
+            mags = sorted({float(abs(v)) for v in np.asarray(NRM).ravel()
+                           if v != 0.0})
+            g3 = (grx, gry, grz)
+            prods = {}
+            for ax in range(3):
+                for mi, m in enumerate(mags):
+                    prods[(ax, mi)] = f32(m) * g3[ax]
+
+            def mag_idx(v):
+                return min(range(len(mags)),
+                           key=lambda k: abs(mags[k] - abs(float(v))))
+
+            def ndot(i):
+                acc = None
+                for ax in range(3):
+                    v = float(NRM[i, ax])
+                    if v == 0.0:
+                        continue
+                    t = prods[(ax, mag_idx(v))]
+                    if acc is None:
+                        acc = t if v > 0 else -t
+                    else:
+                        acc = (acc + t) if v > 0 else (acc - t)
+                return acc
         else:
             def ndot(i):
                 return (
