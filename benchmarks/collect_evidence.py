@@ -29,6 +29,7 @@ LOGS = {
     "ab_face_mxu": "/tmp/ab_facemxu.log",
     "ab_kp_block": "/tmp/ab_kpblock.log",
     "ab_desc_tile": "/tmp/ab_desctile.log",
+    "ab_face_shared": "/tmp/ab_faceshared.log",
 }
 
 
