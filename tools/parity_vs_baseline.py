@@ -106,10 +106,13 @@ def main():
             },
         }
 
-    # >=99.5% under the 1e-3 bar and all under 5e-3: the tail outliers are
-    # keypoints with bins at the truncate(0.0333)/renormalise threshold
-    # (Src/cSIFT3D.cc:1350-1358) flipping under float summation order —
-    # see PARITY_SCALE.json for the same effect vs the NumPy oracle.
+    # >=99% under the 1e-3 bar and all under 5e-3. The tail outliers are
+    # icosahedral face-edge flips: a contributing voxel whose gradient lies
+    # within ~1e-5 of a face edge changes faces when the conv chain's float
+    # op order differs, moving ~1e-3 of descriptor mass between vertex
+    # bins. Proven inherent against the actual reference binary — even the
+    # bit-faithful NumPy oracle shows the same-size tail vs g++-compiled
+    # code (tools/reference_parity.py, DESIGN.md "face-edge sensitivity").
     ok = all(
         v["desc_l2"]["frac_below_1e3"] >= 0.99
         and v["desc_l2"]["p99"] < 1e-3
