@@ -43,6 +43,12 @@ BLUR_PRECISION = [
     else _jax.lax.Precision.HIGHEST
 ]
 
+# Blur implementation: "einsum" (dense smoothing-matrix, the r1/r2
+# default) or "taps2" (streaming Pallas shift-FMA kernel,
+# ops/pallas/blur_kernel2.py). A/B via benchmarks/ab_knobs.py gated on
+# keypoint-set equality.
+BLUR_IMPL = [_os.environ.get("SIFT3D_BLUR_IMPL", "einsum")]
+
 
 @contextlib.contextmanager
 def xla_blur():
@@ -81,7 +87,7 @@ def gaussian_blur(vol: jnp.ndarray, sigma: float) -> jnp.ndarray:
     """
     import jax
 
-    # The tap-based Pallas blur is opt-in: it is boundary-exact and
+    # The tap-based Pallas blur v1 is opt-in: it is boundary-exact and
     # FLOP-lean, but its per-slab transposes make it ~1.6x slower than the
     # einsum on v5e (1.83ms vs 1.17ms per 256^3 blur); the dense
     # smoothing-matrix einsum already runs near memory bandwidth.
@@ -89,6 +95,20 @@ def gaussian_blur(vol: jnp.ndarray, sigma: float) -> jnp.ndarray:
         from .pallas.blur_kernel import gaussian_blur_pallas
 
         return gaussian_blur_pallas(vol, float(sigma))
+
+    # v2 streaming tap kernel (no transposes, no K=n contraction): interior
+    # rows via shift-FMAs, boundary bands via the exact smoothing-matrix
+    # rows. Layout-free only for ny % 8 == 0 and wide-enough dims.
+    if BLUR_IMPL[0] == "taps2" and not _FORCE_XLA[0] and (
+        jax.default_backend() == "tpu"
+    ):
+        from .pallas.blur_kernel2 import gaussian_blur_pallas2
+        from ..pyramid import gaussian_kernel as _gk
+
+        hw = len(_gk(float(sigma))) // 2
+        nz, ny, nx = vol.shape
+        if ny % 8 == 0 and min(nz, ny, nx) >= 2 * hw + 2:
+            return gaussian_blur_pallas2(vol, float(sigma))
 
     hi = BLUR_PRECISION[0]
     Wz, Wy, Wx = blur_operators(vol.shape, sigma)

@@ -629,8 +629,55 @@ def compact_valid_pair(ref: KeypointSet, tar: KeypointSet, warn_overflow=True):
     return bucket(nr, ref), bucket(nt_, tar)
 
 
+def _next_bucket(n, cap: int) -> int:
+    n = max(int(n), 1)
+    return min(1 << (n - 1).bit_length(), cap)
+
+
+# Last-seen compaction buckets per capacity signature. The exact bucket
+# needs the valid-count scalars on host — a full tunnel round-trip that
+# serialises extract -> fetch -> match (~80-120 ms wall at 256^3). With a
+# remembered guess we dispatch compaction + matching immediately at the
+# guessed (power-of-2) buckets and fetch the true counts concurrently with
+# the device-side match: an OVERSIZED bucket is still correct (the extra
+# lanes are valid=False and masked by the matcher), so only an undersized
+# guess falls back to the exact path. Volumes of similar keypoint density
+# share buckets, so steady-state pipelines never pay the sync.
+_BUCKET_GUESS: dict[tuple[int, int], tuple[int, int]] = {}
+
+
 def _match(ref: KeypointSet, tar: KeypointSet, threshold, mode):
-    ref_c, tar_c = compact_valid_pair(ref, tar)
+    import warnings
+
+    key = (ref.valid.shape[0], tar.valid.shape[0])
+    guess = _BUCKET_GUESS.get(key)
+    if guess is not None:
+        br, bt = guess
+        cr, ct = _counts_jit(ref), _counts_jit(tar)
+        ref_c = _compact_slice(ref, br)
+        tar_c = _compact_slice(tar, bt)
+        res = match_descriptors(
+            ref_c.desc, tar_c.desc, ref_c.valid, tar_c.valid, threshold,
+            mode=mode,
+        )
+        out = match_coords(ref_c.rxyz, tar_c.rxyz, res)
+        (nr, dr), (nt_, dt) = jax.device_get((cr, ct))
+        for name, dropped in (("ref", dr), ("tar", dt)):
+            if int(dropped) > 0:
+                warnings.warn(
+                    f"keypoint capacity overflow ({name}): {int(dropped)} "
+                    "extrema dropped by per-level caps; increase "
+                    "SiftConfig.max_kp_per_level",
+                    RuntimeWarning, stacklevel=3,
+                )
+        _BUCKET_GUESS[key] = (_next_bucket(nr, key[0]),
+                              _next_bucket(nt_, key[1]))
+        if int(nr) <= br and int(nt_) <= bt:
+            return out
+        # guess undersized (keypoints would be dropped): redo exactly
+
+    ref_c, tar_c = compact_valid_pair(ref, tar, warn_overflow=guess is None)
+    _BUCKET_GUESS[key] = (ref_c.valid.shape[0], tar_c.valid.shape[0])
     res = match_descriptors(
         ref_c.desc, tar_c.desc, ref_c.valid, tar_c.valid, threshold, mode=mode
     )
