@@ -81,12 +81,15 @@ def main():
         out = step(rv, tv)
         jax.block_until_ready(out)  # compile
         times = []
-        for _ in range(args.runs):
-            # fresh input buffers each run: the axon dev tunnel caches
-            # executions on identical (executable, buffers) pairs, which
-            # would fake the timing; transfer happens outside the timer.
-            rv = jax.device_put(ref, sharding)
-            tv = jax.device_put(tar, sharding)
+        for r in range(args.runs):
+            # content-varying buffers each run: the axon dev tunnel elides
+            # executions it has already seen, and fresh device_put of
+            # IDENTICAL content can still be recognised — perturb by an
+            # amplitude far below any detection threshold so every run
+            # really executes (same trick as benchmarks/match_precision.py).
+            eps = np.float32((r + 1) * 1e-7)
+            rv = jax.device_put(ref + eps, sharding)
+            tv = jax.device_put(tar + eps, sharding)
             jax.block_until_ready((rv, tv))
             t0 = time.time()
             out = step(rv, tv)

@@ -119,8 +119,10 @@ def _xy_kernel(in_ref, xt_ref, xb_ref, out_ref, xscr,
 
 def _z_kernel(in_ref, out_ref, *, taps, nz):
     """Z interior pass on (nz, 8, nx) blocks: taps shift the untiled major
-    dim, moving whole (8, nx) register planes. Boundary z rows are
-    overwritten by the caller."""
+    dim, moving whole (8, nx) register planes. Chunked over output rows
+    with a fori_loop so the unrolled tap temps stay small (each unrolled
+    `acc + term` materialises its RHS on the 16MB scoped-vmem stack).
+    Boundary z rows are overwritten by the caller."""
     f32 = jnp.float32
     width = len(taps)
     hw = (width - 1) // 2
@@ -129,14 +131,29 @@ def _z_kernel(in_ref, out_ref, *, taps, nz):
         out_ref[...] = in_ref[...]
         return
 
-    val = in_ref[...]
-    acc = f32(taps[0]) * val[2 * hw: 2 * hw + n_int]
-    for j in range(1, width):
-        acc = acc + f32(taps[j]) * val[2 * hw - j: 2 * hw - j + n_int]
-    out_ref[hw: hw + n_int] = acc
+    rc = min(64, n_int)
+    nfull = n_int // rc
+
+    def chunk(r0_static_or_traced, size):
+        # out row hw+r0+t = sum_j taps[j] * in[r0 + t + 2hw - j]
+        val = in_ref[pl.ds(r0_static_or_traced, size + 2 * hw)]
+        acc = f32(taps[0]) * val[2 * hw: 2 * hw + size]
+        for j in range(1, width):
+            acc = acc + f32(taps[j]) * val[2 * hw - j: 2 * hw - j + size]
+        return acc
+
+    def body(i, _):
+        r0 = i * rc
+        out_ref[pl.ds(hw + r0, rc)] = chunk(r0, rc)
+        return 0
+
+    jax.lax.fori_loop(0, nfull, body, 0)
+    rem = n_int - nfull * rc
+    if rem:
+        out_ref[pl.ds(hw + nfull * rc, rem)] = chunk(nfull * rc, rem)
     # fill the boundary rows with anything in-range (overwritten outside)
-    out_ref[:hw] = val[:hw]
-    out_ref[nz - hw - 1:] = val[nz - hw - 1:]
+    out_ref[:hw] = in_ref[:hw]
+    out_ref[nz - hw - 1:] = in_ref[nz - hw - 1:]
 
 
 @functools.partial(jax.jit, static_argnames=("sigma", "interpret"))
