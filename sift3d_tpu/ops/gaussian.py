@@ -43,11 +43,18 @@ BLUR_PRECISION = [
     else _jax.lax.Precision.HIGHEST
 ]
 
-# Blur implementation: "einsum" (dense smoothing-matrix, the r1/r2
-# default) or "taps2" (streaming Pallas shift-FMA kernel,
-# ops/pallas/blur_kernel2.py). A/B via benchmarks/ab_knobs.py gated on
-# keypoint-set equality.
-BLUR_IMPL = [_os.environ.get("SIFT3D_BLUR_IMPL", "einsum")]
+# Blur implementation: "taps2" (streaming Pallas shift-FMA kernel,
+# ops/pallas/blur_kernel2.py — the default) or "einsum" (dense
+# smoothing-matrix, the r1/r2 default). Measured on TPU v5e at 256^3
+# (EVIDENCE_r3): taps2 0.9 ms/blur device vs einsum 1.7 ms (~459 GB/s
+# effective on the 6V compulsory-traffic model — at the measured copy
+# roofline), with IDENTICAL keypoint and match sets, 0.1-0.2% of
+# descriptors shifted >1e-3 by icosahedral face-edge flips (inside the
+# documented parity bar), and ~50x tighter oracle pyramid parity (1.8e-7
+# vs ~1e-5: the kernel reproduces the reference's d-order tap
+# accumulation exactly where the einsum's K=n matmul only approximates
+# it).
+BLUR_IMPL = [_os.environ.get("SIFT3D_BLUR_IMPL", "taps2")]
 
 
 @contextlib.contextmanager

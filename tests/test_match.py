@@ -97,3 +97,60 @@ def test_top2_pallas_matches_xla():
     np.testing.assert_array_equal(np.asarray(a.i1), np.asarray(b.i1))
     np.testing.assert_allclose(np.asarray(a.d1), np.asarray(b.d1), atol=2e-6)
     np.testing.assert_allclose(np.asarray(a.d2), np.asarray(b.d2), atol=2e-6)
+
+
+def test_index0_quirk_matches_reference_semantics():
+    """The reference's negate-to-reject encoding cannot reject target
+    index 0 (gIdx *= -1 is a no-op at 0, Src/cMatcher.cc:93,141): a ref
+    keypoint whose best target is tar[0] survives the ratio test AND the
+    biject filter regardless. Verified against the compiled reference
+    binary (tools/reference_parity.py); index0_quirk=False restores strict
+    semantics."""
+    rng = np.random.default_rng(9)
+    # two ref kps whose best match is tar[0] with a failing ratio test:
+    # tar[0] and tar[1] nearly identical, both close to the ref kps.
+    base = rng.random(768).astype(np.float32)
+    base /= np.linalg.norm(base)
+    jitter = rng.random((4, 768)).astype(np.float32) * 0.02
+    ref = np.stack([base + jitter[0], base + jitter[1]])
+    tar = np.stack([base + 0.001 * jitter[2], base + 0.001 * jitter[3]])
+    ref /= np.linalg.norm(ref, axis=1, keepdims=True)
+    tar /= np.linalg.norm(tar, axis=1, keepdims=True)
+    ones_r = np.ones(2, bool)
+    ones_t = np.ones(2, bool)
+
+    quirk = M.match_descriptors(ref, tar, ones_r, ones_t, 0.85, M.ENHANCED)
+    strict = M.match_descriptors(ref, tar, ones_r, ones_t, 0.85, M.ENHANCED,
+                                 index0_quirk=False)
+    kept_q = np.asarray(quirk.valid)
+    kept_s = np.asarray(strict.valid)
+    i1 = np.asarray(quirk.tar_idx)
+    # with the quirk, every ref kp whose best target is 0 is kept
+    assert all(kept_q[i] for i in range(2) if i1[i] == 0)
+    assert kept_q.sum() > kept_s.sum()
+
+    # oracle agrees with the quirk semantics
+    ri, _ = cpu_match.match(ref, tar, 0.85, cpu_match.ENHANCED)
+    assert set(np.where(kept_q)[0]) == set(ri.tolist())
+
+
+def test_repeated_match_uses_bucket_guess_identically():
+    """pipeline._match's guess-and-verify bucket dispatch must return
+    identical results on repeat calls (the second call takes the guessed
+    fast path with no host round-trip)."""
+    import jax
+
+    from sift3d_tpu import SIFT3D, enhanced_match
+    from sift3d_tpu.oracle import fixtures
+
+    vol_a = fixtures.smooth_random_volume((32, 32, 32), seed=3, smooth=2)
+    vol_b = fixtures.smooth_random_volume((32, 32, 32), seed=4, smooth=2)
+    sift = SIFT3D()
+    ka, kb = sift.extract(vol_a), sift.extract(vol_b)
+    r1 = enhanced_match(ka, kb, 0.85)
+    r2 = enhanced_match(ka, kb, 0.85)
+    v1, v2 = np.asarray(r1[2]), np.asarray(r2[2])
+    c1 = np.sort(np.asarray(r1[0])[v1], axis=0)
+    c2 = np.sort(np.asarray(r2[0])[v2], axis=0)
+    assert v1.sum() == v2.sum()
+    np.testing.assert_array_equal(c1, c2)

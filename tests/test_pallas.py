@@ -107,3 +107,21 @@ def test_blur_kernel_matches_xla(shape, sigma):
     a = np.asarray(gaussian_blur(jnp.asarray(v), sigma))
     b = np.asarray(gaussian_blur_pallas(jnp.asarray(v), sigma, interpret=True))
     np.testing.assert_allclose(a, b, atol=2e-6)
+
+
+@pytest.mark.parametrize(
+    "shape,sigma",
+    [((32, 32, 32), 1.2699), ((32, 24, 64), 2.4551), ((64, 32, 128), 2.8)],
+)
+def test_blur_kernel2_matches_xla(shape, sigma):
+    """v2 streaming blur (shift-FMA interior + exact boundary-band einsums,
+    ops/pallas/blur_kernel2.py) matches the einsum path to reduction-order
+    ulps on every axis, including the conv_eps boundary rows."""
+    from sift3d_tpu.ops.gaussian import gaussian_blur
+    from sift3d_tpu.ops.pallas.blur_kernel2 import gaussian_blur_pallas2
+
+    rng = np.random.default_rng(4)
+    v = rng.standard_normal(shape).astype(np.float32)
+    a = np.asarray(gaussian_blur(jnp.asarray(v), sigma))
+    b = np.asarray(gaussian_blur_pallas2(jnp.asarray(v), sigma, interpret=True))
+    np.testing.assert_allclose(a, b, atol=2e-6)
