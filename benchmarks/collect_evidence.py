@@ -30,6 +30,8 @@ LOGS = {
     "ab_kp_block": "/tmp/ab_kpblock.log",
     "ab_desc_tile": "/tmp/ab_desctile.log",
     "ab_face_shared": "/tmp/ab_faceshared.log",
+    "ab_blur_taps2": "/tmp/ab_blurtaps2.log",
+    "ab_row_skip": "/tmp/ab_rowskip.log",
 }
 
 

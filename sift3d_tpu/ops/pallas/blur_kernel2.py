@@ -217,15 +217,22 @@ def gaussian_blur_pallas2(vol: jnp.ndarray, sigma: float,
                          xpass_bot, **_DOT_KW)
         xy = xy.at[:, y_bs:, :].set(bot)
 
-    # Z pass: (nz, 8, nx) blocks over the y dimension.
+    # Z pass: (nz, 8, nx_c) blocks over (y, x). The lane chunk keeps
+    # in+out blocks plus tap temps inside the 16MB scoped-vmem budget at
+    # 512^3 (a full (512, 8, 512) block is 8MB and doubles on the stack).
+    nx_c = nx
+    while nz * 8 * nx_c * 4 > (2 << 20) and nx_c % 2 == 0 and nx_c > 128:
+        nx_c //= 2
+    while nx % nx_c:
+        nx_c //= 2
     zout = pl.pallas_call(
         functools.partial(_z_kernel, taps=taps, nz=nz),
-        grid=(ny // 8,),
+        grid=(ny // 8, nx // nx_c),
         in_specs=[
-            pl.BlockSpec((nz, 8, nx), lambda i: (0, i, 0),
+            pl.BlockSpec((nz, 8, nx_c), lambda i, j: (0, i, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((nz, 8, nx), lambda i: (0, i, 0),
+        out_specs=pl.BlockSpec((nz, 8, nx_c), lambda i, j: (0, i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nz, ny, nx), jnp.float32),
         interpret=interpret,

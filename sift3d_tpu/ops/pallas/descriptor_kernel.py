@@ -104,6 +104,15 @@ assert SUB % ACCUM_GROUP == 0, (
     f"SIFT3D_ACCUM_GROUP ({ACCUM_GROUP}) must divide SUB ({SUB})")
 assert ACCUM_PRECISION in ("highest", "3pass", "1pass"), ACCUM_PRECISION
 
+# Skip the Kronecker build + accumulation dot for sublane rows whose val
+# vector is entirely zero (exact; ~25% of rows fail the sphere test alone).
+# Measured on TPU v5e (256^3 pair, EVIDENCE_r3 ab_row_skip): 1.00 s vs
+# 0.70 s — the 64 per-row lax.conds cost far more in scalar branching and
+# broken instruction pipelining than the skipped VPU work saves, so the
+# knob stays OFF. (Lesson: Mosaic control flow at sub-tile granularity is
+# not worth it; skip at grid-step granularity or not at all.)
+ROW_SKIP = _os.environ.get("SIFT3D_ROW_SKIP", "0") == "1"
+
 
 def _accum_dot(G, H):
     """acc contribution: G (16, L) @ H (48, L)^T at ACCUM_PRECISION."""
@@ -445,20 +454,34 @@ def _kernel(
                 )  # (4, LANE)
 
             for s in range(SUB):
-                def row(a):
+                def row(a, s=s):
                     return a[s: s + 1, :]  # (1, LANE)
 
-                X = axis_factor(row(basex), row(fracx))
-                Y = axis_factor(row(basey), row(fracy))
-                Z = axis_factor(row(basez), row(fracz))
-                V = (
-                    jnp.where(i12 == row(vid0), row(bx_), zero12)
-                    + jnp.where(i12 == row(vid1), row(by_), zero12)
-                    + jnp.where(i12 == row(vid2), row(bz_), zero12)
-                ) * row(val)  # (12, LANE)
-                G = jnp.concatenate([X[k: k + 1] * Y for k in range(4)], axis=0)
-                H = jnp.concatenate([Z[k: k + 1] * V for k in range(4)], axis=0)
-                acc = acc + _accum_dot(G, H)
+                def contribute(_, s=s, row=row):
+                    X = axis_factor(row(basex), row(fracx))
+                    Y = axis_factor(row(basey), row(fracy))
+                    Z = axis_factor(row(basez), row(fracz))
+                    V = (
+                        jnp.where(i12 == row(vid0), row(bx_), zero12)
+                        + jnp.where(i12 == row(vid1), row(by_), zero12)
+                        + jnp.where(i12 == row(vid2), row(bz_), zero12)
+                    ) * row(val)  # (12, LANE)
+                    G = jnp.concatenate(
+                        [X[k: k + 1] * Y for k in range(4)], axis=0)
+                    H = jnp.concatenate(
+                        [Z[k: k + 1] * V for k in range(4)], axis=0)
+                    return _accum_dot(G, H)
+
+                if ROW_SKIP:
+                    # Rows with no contributing voxel (~25% fail the sphere
+                    # test alone for interior keypoints; box/face rejections
+                    # add more) have H == 0 identically — skipping them is
+                    # exact, not an approximation.
+                    acc = acc + jax.lax.cond(
+                        jnp.any(row(val) != 0.0), contribute,
+                        lambda _: jnp.zeros((16, 48), jnp.float32), 0)
+                else:
+                    acc = acc + contribute(0)
 
         out_ref[0] = out_ref[0] + acc
 
