@@ -68,7 +68,10 @@ def main():
                       ("SCALING_r03.json", "scaling"),
                       ("PARITY_VS_REFERENCE.json", "parity_vs_reference_64"),
                       ("PARITY_VS_REFERENCE_128.json",
-                       "parity_vs_reference_128")):
+                       "parity_vs_reference_128"),
+                      ("PARITY_VS_REFERENCE_256.json",
+                       "parity_vs_reference_256"),
+                      ("BENCH_512_r03.json", "bench_512_artifact")):
         p = REPO / name
         if p.exists():
             ev[key] = json.loads(p.read_text())
