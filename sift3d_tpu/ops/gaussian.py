@@ -85,12 +85,14 @@ def gaussian_blur(vol: jnp.ndarray, sigma: float) -> jnp.ndarray:
     """Separable blur with reference axis order X -> Y -> Z
     (Src/cSIFT3D.cc:608-617). vol: (nz, ny, nx) float32.
 
-    On TPU the tap-based Pallas kernels run (ops/pallas/blur_kernel.py:
-    fused XY pass + Z pass, boundary rows via small MXU products); elsewhere
-    the dense smoothing-matrix einsum path below.
+    On TPU the streaming tap kernel runs by default (BLUR_IMPL "taps2",
+    ops/pallas/blur_kernel2.py: shift-FMA interior, exact boundary bands);
+    the dense smoothing-matrix einsum below serves CPU, the GSPMD-sharded
+    path (xla_blur), and shapes outside the kernel's envelope.
 
-    precision=HIGHEST keeps the MXU passes in true float32 — the TPU default
-    (bf16 passes) would move keypoints relative to the CPU reference.
+    precision=HIGHEST keeps the einsum's MXU passes in true float32 — the
+    TPU default (bf16 passes) would move keypoints relative to the CPU
+    reference (measured: EVIDENCE_r3 ab_blur_high).
     """
     import jax
 

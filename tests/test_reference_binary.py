@@ -1,0 +1,49 @@
+"""Ground-truth test against the ACTUAL compiled reference.
+
+Builds the unmodified MSVC reference with g++ (tools/reference_build/) and
+diffs the oracle and TPU pipeline against its dumps at 32^3. This is the
+in-suite version of tools/reference_parity.py; the 64^3/128^3/256^3 runs
+live in PARITY_VS_REFERENCE*.json.
+
+Skips (not fails) if the toolchain can't build the reference — the rest of
+the suite does not depend on it.
+"""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+DRIVER = REPO / "tools/reference_build/ref_driver"
+
+
+@pytest.fixture(scope="module")
+def ref_driver():
+    if not DRIVER.exists():
+        build = REPO / "tools/reference_build/build_reference.sh"
+        try:
+            subprocess.run([str(build)], check=True, capture_output=True,
+                           timeout=600)
+        except Exception as e:  # toolchain/ref sources unavailable
+            pytest.skip(f"cannot build reference binary: {e}")
+    return DRIVER
+
+
+def test_pipeline_matches_reference_binary(ref_driver, tmp_path):
+    res = subprocess.run(
+        [sys.executable, str(REPO / "tools/reference_parity.py"),
+         "--size", "32", "--workdir", str(tmp_path),
+         "--out", str(tmp_path / "parity.json")],
+        capture_output=True, text=True, timeout=1200,
+    )
+    assert res.returncode == 0, res.stdout[-2000:] + res.stderr[-2000:]
+    rep = json.loads((tmp_path / "parity.json").read_text())
+    assert rep["ok"]
+    assert rep["matches_equal"]
+    for tag in ("ref", "tar"):
+        for impl in rep[tag].values():
+            assert impl["detections_exact"], (tag, impl)
+            assert impl["kp_exact"], (tag, impl)
