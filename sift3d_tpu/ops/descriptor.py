@@ -159,7 +159,8 @@ def _desc_one_block_pallas(
     Cp = -(-Cw // TILE) * TILE
 
     wins, starts = W.gather_windows(
-        gss_pad, bx, by, bz, wshape, z_off=z_off, nzp=nz + 2
+        gss_pad, bx, by, bz, wshape, z_off=z_off, nzp=nz + 2,
+        use_pallas=True,
     )
     win = jnp.pad(wins.reshape(B, Cw), ((0, 0), (0, Cp - Cw)))
 

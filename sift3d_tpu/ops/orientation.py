@@ -124,7 +124,8 @@ def _window_stats(
         Cp = -(-Cw // TILE) * TILE
 
         wins, starts = W.gather_windows(
-            gss_pad, bx, by, bz, wshape, z_off=z_off, nzp=nzp
+            gss_pad, bx, by, bz, wshape, z_off=z_off, nzp=nzp,
+            use_pallas=True,
         )
         win = jnp.pad(wins.reshape(B, Cw), ((0, 0), (0, Cp - Cw)))
         maps_np = ori_window_maps(wshape, Cp)

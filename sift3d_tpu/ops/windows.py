@@ -18,12 +18,24 @@ contributions only ever read true in-volume voxels.
 from __future__ import annotations
 
 import math
+import os as _os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..config import IMG_BORDER
+
+# DMA-kernel window gather on TPU (see gather_windows). DISABLED: Mosaic
+# rejects DMA slices whose second-minor extent is not a multiple of the
+# (8, 128) tiling ("Slice shape along dimension 1 must be aligned to
+# tiling (8), but is 21"), and window extents are always odd
+# (2*ceil(r)+5); floor-aligning the starts would shift the window content
+# per keypoint and break the level-shared flat offset maps. The ~105 ms
+# of per-keypoint DUS copies therefore stands until a fused
+# gather-to-flat kernel exists. Kept for the record / future alignment
+# experiments (SIFT3D_PALLAS_GATHER=1).
+PALLAS_GATHER = [_os.environ.get("SIFT3D_PALLAS_GATHER", "0") == "1"]
 
 
 def radius_voxels(win_radius_phys: float, unit: float) -> float:
@@ -46,6 +58,7 @@ def gather_windows(
     wshape: tuple[int, int, int],
     z_off=0,
     nzp: int | None = None,
+    use_pallas: bool = False,
 ):
     """Gather (B, Wz, Wy, Wx) windows centred on integer keypoint coords.
 
@@ -73,6 +86,19 @@ def gather_windows(
     sz = start(zs, Wz, nzp)
     sy = start(ys, Wy, nyp)
     sx = start(xs, Wx, nxp)
+
+    # On TPU, the vmapped dynamic_slice lowers to one tiny DUS per keypoint
+    # (~6.5 us each, ~105 ms of the 256^3 pair); the Pallas kernel issues
+    # one strided HBM->HBM DMA per keypoint instead (bit-identical: a
+    # copy). Callers opt in only from the Pallas-kernel stage variants, so
+    # the GSPMD path (use_pallas=False configs, XLA-partitionable) and CPU
+    # keep the vmapped gather.
+    if use_pallas and PALLAS_GATHER[0] and jax.default_backend() == "tpu":
+        from .pallas.gather_kernel import gather_windows_pallas
+
+        wins = gather_windows_pallas(vol_padded, sz - z_off, sy, sx,
+                                     (Wz, Wy, Wx))
+        return wins, (sz, sy, sx)
 
     def one(s0, s1, s2):
         return jax.lax.dynamic_slice(
