@@ -96,3 +96,6 @@ def test_two_process_sharded_step_matches_single_process():
     )
     assert r["matches"] == int(v.sum())
     assert r["pairs"] == expected
+    # distributed pose-graph refinement (psum across the process boundary)
+    # recovers the synthetic ground-truth poses
+    assert r["posegraph_err"] < 1e-3, r["posegraph_err"]
