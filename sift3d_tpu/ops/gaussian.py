@@ -130,11 +130,29 @@ def gaussian_blur(vol: jnp.ndarray, sigma: float) -> jnp.ndarray:
     return out
 
 
+@functools.lru_cache(maxsize=None)
+def _even_lane_selector(nx: int) -> np.ndarray:
+    S = np.zeros((nx // 2, nx), np.float32)
+    S[np.arange(nx // 2), 2 * np.arange(nx // 2)] = 1.0
+    return S
+
+
 def downsample(vol: jnp.ndarray) -> jnp.ndarray:
     """Stride-2 decimation, dims halve by integer division
-    (DownSample_3D, Src/cSIFT3D.cc:506-533)."""
+    (DownSample_3D, Src/cSIFT3D.cc:506-533).
+
+    The x (lane) axis decimates via a 0/1 selection matmul instead of a
+    strided slice: XLA lowers a lane-strided slice feeding a flat-layout
+    consumer as a linear gather of the whole level — measured 29.5 ms
+    device vs 0.32 ms for the matmul at 256^3 (exact: each output sums one
+    x*1.0 product at f32-HIGHEST). z/y strides stay plain slices (major/
+    sublane strides lower fine)."""
     nz, ny, nx = vol.shape
-    return vol[: 2 * (nz // 2) : 2, : 2 * (ny // 2) : 2, : 2 * (nx // 2) : 2]
+    S = jnp.asarray(_even_lane_selector(nx))
+    x_dec = jnp.einsum("xj,zyj->zyx", S, vol,
+                       preferred_element_type=jnp.float32,
+                       precision=_jax.lax.Precision.HIGHEST)
+    return x_dec[: 2 * (nz // 2) : 2, : 2 * (ny // 2) : 2, :]
 
 
 def dog(prev: jnp.ndarray, cur: jnp.ndarray) -> jnp.ndarray:

@@ -162,6 +162,10 @@ def gaussian_blur_pallas2(vol: jnp.ndarray, sigma: float,
     """Separable blur, reference axis order X -> Y -> Z, boundary-exact,
     streaming (one read + one write per pass). Requires ny % 8 == 0."""
     nz, ny, nx = vol.shape
+    # NOTE: a lane-strided-slice producer fused into the flat reshape below
+    # lowers as a ~26 ms linear gather of the whole level; downsample()
+    # therefore decimates x with a selection matmul (ops/gaussian.py). An
+    # optimization_barrier here does NOT prevent the bad fusion (measured).
     k = gaussian_kernel(sigma)
     taps = tuple(float(t) for t in k)
     hw = len(k) // 2
