@@ -32,6 +32,8 @@ LOGS = {
     "ab_face_shared": "/tmp/ab_faceshared.log",
     "ab_blur_taps2": "/tmp/ab_blurtaps2.log",
     "ab_row_skip": "/tmp/ab_rowskip.log",
+    "ab_downsample_matmul": "/tmp/ab_downsample.log",
+    "ab_blur_barrier": "/tmp/ab_barrier.log",
 }
 
 
