@@ -192,6 +192,9 @@ def pyramid_diff(outdir: Path, tag, dump, gl, dl, noct):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=64)
+    ap.add_argument("--shape", default=None,
+                    help="non-cubic volume shape as nz,ny,nx (overrides "
+                    "--size); exercises anisotropic dims end to end")
     ap.add_argument("--seeds", type=int, nargs=2, default=(3, 4))
     ap.add_argument("--threads", type=int, default=4)
     ap.add_argument("--out", default=str(REPO / "PARITY_VS_REFERENCE.json"))
@@ -216,7 +219,8 @@ def main():
 
     workdir = Path(args.workdir or tempfile.mkdtemp(prefix="refparity_"))
     workdir.mkdir(parents=True, exist_ok=True)
-    shape = (args.size,) * 3
+    shape = (tuple(int(v) for v in args.shape.split(","))
+             if args.shape else (args.size,) * 3)
     vols = {}
     for tag, seed in zip(("ref", "tar"), args.seeds):
         vols[tag] = fixtures.smooth_random_volume(shape, seed=seed, smooth=2)
@@ -231,7 +235,8 @@ def main():
     sys.stderr.write(res.stdout[-2000:] + res.stderr[-2000:])
     res.check_returncode()
 
-    report = {"size": args.size, "seeds": list(args.seeds),
+    report = {"size": args.size, "shape": list(shape),
+              "seeds": list(args.seeds),
               "driver_stdout_tail": res.stdout.strip().splitlines()[-3:],
               "ok": True}
 
