@@ -110,10 +110,16 @@ def main():
         base = np.load(args.vs)
         kp_equal = (base["rk"].shape == rk.shape and (base["rk"] == rk).all()
                     and base["tk"].shape == tk.shape and (base["tk"] == tk).all())
+        def _rowsort(m):
+            # lexicographic whole-row sort: per-column sorting would let two
+            # different pairings over the same coordinate multisets compare
+            # equal (advisor r3)
+            return m[np.lexsort(m.T[::-1])] if m.size else m
+
         m_equal = (base["matches"].shape == matches.shape
                    and np.allclose(
-                       np.sort(base["matches"], axis=0),
-                       np.sort(matches, axis=0), atol=1e-3))
+                       _rowsort(base["matches"]),
+                       _rowsort(matches), atol=1e-3))
         desc_d = None
         if kp_equal:
             desc_d = max(

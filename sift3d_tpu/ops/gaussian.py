@@ -111,12 +111,13 @@ def gaussian_blur(vol: jnp.ndarray, sigma: float) -> jnp.ndarray:
     if BLUR_IMPL[0] == "taps2" and not _FORCE_XLA[0] and (
         jax.default_backend() == "tpu"
     ):
-        from .pallas.blur_kernel2 import gaussian_blur_pallas2
+        from .pallas.blur_kernel2 import gaussian_blur_pallas2, z_lane_chunk
         from ..pyramid import gaussian_kernel as _gk
 
         hw = len(_gk(float(sigma))) // 2
         nz, ny, nx = vol.shape
-        if ny % 8 == 0 and min(nz, ny, nx) >= 2 * hw + 2:
+        if (ny % 8 == 0 and min(nz, ny, nx) >= 2 * hw + 2
+                and z_lane_chunk(nz, nx) is not None):
             return gaussian_blur_pallas2(vol, float(sigma))
 
     hi = BLUR_PRECISION[0]
@@ -146,8 +147,13 @@ def downsample(vol: jnp.ndarray) -> jnp.ndarray:
     consumer as a linear gather of the whole level — measured 29.5 ms
     device vs 0.32 ms for the matmul at 256^3 (exact: each output sums one
     x*1.0 product at f32-HIGHEST). z/y strides stay plain slices (major/
-    sublane strides lower fine)."""
+    sublane strides lower fine). The matmul is a TPU-layout workaround
+    only: on CPU (tests/oracle paths) the plain O(1)-per-voxel strided
+    slice is kept (advisor r3)."""
     nz, ny, nx = vol.shape
+    if _jax.default_backend() != "tpu":
+        return vol[: 2 * (nz // 2) : 2, : 2 * (ny // 2) : 2,
+                   : 2 * (nx // 2) : 2]
     S = jnp.asarray(_even_lane_selector(nx))
     x_dec = jnp.einsum("xj,zyj->zyx", S, vol,
                        preferred_element_type=jnp.float32,

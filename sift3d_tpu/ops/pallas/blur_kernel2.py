@@ -64,6 +64,23 @@ def _round8(v: int) -> int:
     return -(-v // 8) * 8
 
 
+def z_lane_chunk(nz: int, nx: int) -> int | None:
+    """Lane chunk nx_c for the z-pass blocks: must divide nx and be
+    Mosaic-legal (nx_c == nx, i.e. the full lane dim, or nx_c % 128 == 0 —
+    a partial lane block of e.g. 96 is rejected at lowering, advisor r3).
+    Picks the largest legal chunk whose (nz, 8, nx_c) in+out blocks fit
+    the ~2MB-per-block budget; tolerates up to 6MB on the smallest legal
+    chunk; returns None (caller falls back to the einsum blur) otherwise."""
+    legal = [nx] + [c for c in range(128, nx, 128) if nx % c == 0]
+    budget = [c for c in legal if nz * 8 * c * 4 <= (2 << 20)]
+    if budget:
+        return max(budget)
+    smallest = min(legal)
+    if nz * 8 * smallest * 4 <= (6 << 20):
+        return smallest
+    return None
+
+
 def _xy_kernel(in_ref, xt_ref, xb_ref, out_ref, xscr,
                *, taps, x_meta, rows, nx):
     """X pass (lane conv, boundary-exact) into a sublane-halo-padded
@@ -224,11 +241,10 @@ def gaussian_blur_pallas2(vol: jnp.ndarray, sigma: float,
     # Z pass: (nz, 8, nx_c) blocks over (y, x). The lane chunk keeps
     # in+out blocks plus tap temps inside the 16MB scoped-vmem budget at
     # 512^3 (a full (512, 8, 512) block is 8MB and doubles on the stack).
-    nx_c = nx
-    while nz * 8 * nx_c * 4 > (2 << 20) and nx_c % 2 == 0 and nx_c > 128:
-        nx_c //= 2
-    while nx % nx_c:
-        nx_c //= 2
+    # Chunk legality (divides nx, 128-multiple or full) is pre-checked by
+    # gaussian.py's gate; assert rather than crash inside Mosaic.
+    nx_c = z_lane_chunk(nz, nx)
+    assert nx_c is not None, (nz, nx)
     zout = pl.pallas_call(
         functools.partial(_z_kernel, taps=taps, nz=nz),
         grid=(ny // 8, nx // nx_c),

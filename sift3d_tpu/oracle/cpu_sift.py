@@ -65,6 +65,10 @@ class OracleKeypoint:
     # filled by orientation
     status: int = 0            # 1 accepted; -1 weak grad; -2 eig; -3 corner
     rotation: np.ndarray | None = None   # (3,3), row-major like kp.Rotation
+    # extract_descriptor transposes `rotation` in place, like the reference
+    # (Src/cSIFT3D.cc:1214); this flag makes the hazard explicit so a repeat
+    # call cannot silently un-transpose it.
+    rotation_is_descriptor_frame: bool = False
     str_tensor: np.ndarray | None = None
     eigvals: np.ndarray | None = None
     # filled by descriptor
@@ -486,8 +490,16 @@ def extract_descriptor(kp: OracleKeypoint, level: Level) -> None:
 
         # Invert the rotation in place exactly like the reference
         # (Transpose_Matrix(kp.Rotation), Src/cSIFT3D.cc:1214): the stored
-        # keypoint rotation is the descriptor-frame R^T from here on.
+        # keypoint rotation is the descriptor-frame R^T from here on. The
+        # C++ shares the non-idempotency hazard; unlike it, refuse a repeat
+        # extraction instead of silently un-transposing.
+        if kp.rotation_is_descriptor_frame:
+            raise ValueError(
+                "extract_descriptor called twice on the same OracleKeypoint:"
+                " kp.rotation is already the descriptor-frame R^T"
+            )
         kp.rotation = kp.rotation.T.astype(F32)
+        kp.rotation_is_descriptor_frame = True
         Rt = kp.rotation
         disp = np.stack([dx, dy, dz], axis=-1)          # (..., 3)
         vrot = disp @ Rt.T                               # Rt @ disp per voxel
