@@ -451,7 +451,11 @@ def _cart2bary_first_face(grads: np.ndarray):
     return face_idx, bary
 
 
-def extract_descriptor(kp: OracleKeypoint, level: Level) -> None:
+def extract_descriptor(kp: OracleKeypoint, level: Level,
+                       collect: dict | None = None) -> None:
+    """collect (optional): a dict that receives the per-voxel internals
+    (face_idx, bary, contrib, grad_rot) — used by tools/diagnose_desc_tail.py
+    to attribute cross-build descriptor deltas to icosahedral face flips."""
     gau = level.data
     nz, ny, nx = gau.shape
     u = F32(level.unit)
@@ -521,6 +525,9 @@ def extract_descriptor(kp: OracleKeypoint, level: Level) -> None:
 
         face_idx, bary = _cart2bary_first_face(grad_rot.astype(F32))
         contrib = contrib & (face_idx >= 0)
+        if collect is not None:
+            collect.update(face_idx=face_idx, bary=bary, contrib=contrib,
+                           grad_rot=grad_rot.astype(F32))
 
         mag = np.sqrt(np.sum(grad_rot * grad_rot, axis=-1)).astype(F32)
 
