@@ -121,18 +121,33 @@ def main():
                        _rowsort(base["matches"]),
                        _rowsort(matches), atol=1e-3))
         desc_d = None
+        over = None
         if kp_equal:
-            desc_d = max(
-                float(np.abs(base["rdesc"] - rdesc).max(initial=0)),
-                float(np.abs(base["tdesc"] - tdesc).max(initial=0)))
+            dl2 = np.concatenate([
+                np.linalg.norm(base["rdesc"] - rdesc, axis=-1),
+                np.linalg.norm(base["tdesc"] - tdesc, axis=-1),
+            ]) if rdesc.size else np.zeros(0)
+            desc_d = float(dl2.max(initial=0))
+            over = int((dl2 > 1e-3).sum())
         result.update({
             "kp_sets_equal": bool(kp_equal),
             "match_sets_equal": bool(m_equal),
-            "desc_maxabs_delta": desc_d,
+            "desc_l2_worst": desc_d,
+            "desc_over_1e3": over,
             "baseline_wall_s": float(base["wall"]),
             "speedup": round(float(base["wall"]) / result["wall_s"], 3),
         })
-        ok = kp_equal and m_equal and (desc_d is None or desc_d < 1e-3)
+        # Gate = BASELINE.md "Amended parity bar": keypoint and match sets
+        # identical; descriptors L2 < 1e-3 for >= 99% of keypoints with
+        # worst < 5e-3 (face-edge flips move ~1e-3 of mass between vertex
+        # bins whenever ANY float op order changes — DESC_TAIL_256.json).
+        # A bit-identical knob still reports desc_l2_worst == 0 for the
+        # stronger claim.
+        nkp = max(rk.shape[0] + tk.shape[0], 1)
+        ok = kp_equal and m_equal and (
+            desc_d is None
+            or (desc_d < 5e-3 and over <= max(1, round(0.01 * nkp)))
+        )
         result["parity_ok"] = bool(ok)
 
     print(json.dumps(result))

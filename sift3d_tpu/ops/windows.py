@@ -44,10 +44,41 @@ def radius_voxels(win_radius_phys: float, unit: float) -> float:
     return float(np.float32(np.float32(win_radius_phys) / np.float32(unit)))
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
 def window_size(r_vox: float, n_padded: int) -> int:
-    """Static per-axis window extent: span of the clamped box (<= 2*ceil(r)+1,
-    +-1 slack for f32 floor/ceil rounding) plus the gradient margin."""
-    return min(2 * int(math.ceil(r_vox)) + 5, n_padded)
+    """Static per-axis window extent: the MINIMAL extent that covers the
+    reference's clamped box (box_bounds, Src/cSIFT3D.cc:939-955) plus the
+    +-1 gradient margin for every possible center coordinate.
+
+    Computed exactly by brute force over all centers with the same float32
+    floor/ceil arithmetic as box_bounds (r_vox and n_padded are static per
+    pyramid level, so this runs once per level at trace time). For integer
+    centers the clamped span is 2*ceil(r)+1 except where f32 rounding of
+    c +- r crosses an integer, so the exact extent is typically
+    2*ceil(r)+3 — two voxels tighter per axis than the conservative
+    2*ceil(r)+5 bound used through round 3 (-8..11% window voxels).
+    Downstream masks test true coordinates, so any covering extent yields
+    bit-identical results (verified by the parity suite)."""
+    cap = min(2 * int(math.ceil(r_vox)) + 5, n_padded)
+    n = n_padded - 2
+    if n <= 2:
+        return cap
+    r = np.float32(r_vox)
+    c = np.arange(n, dtype=np.float32)
+    start = np.floor(c - r).astype(np.int64)
+    start = np.where(start > 1, start, IMG_BORDER)
+    end = np.ceil(c + r).astype(np.int64)
+    end = np.where(end < n - 2, end, n - 1 - IMG_BORDER)
+    ci = np.arange(n, dtype=np.int64)
+    for W in range(3, cap):
+        rm = (W - 1) // 2
+        s = np.clip(ci + 1 - rm, 0, n_padded - W)
+        if np.all((s <= start) & (s + W - 1 >= end + 2)):
+            return W
+    return cap
 
 
 def gather_windows(
