@@ -122,6 +122,29 @@ def compact(mask: jnp.ndarray, cap: int, threshold: jnp.ndarray,
     )
 
 
+def decode_indices(idx, count, threshold, shape) -> LevelDetections:
+    """(cap,) flat interior positions + count -> LevelDetections (the same
+    decode as `compact`, shared by the fused detection kernel)."""
+    nz, ny, nx = shape
+    my, mx = ny - 2, nx - 2
+    cap = idx.shape[0]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)[:, 0]
+    valid = lanes < jnp.minimum(count, cap)
+    safe = jnp.where(valid, idx, 0)
+    z = safe // (my * mx)
+    rem = safe % (my * mx)
+    y = rem // mx
+    x = rem % mx
+    return LevelDetections(
+        x=jnp.where(valid, x + 1, 0).astype(jnp.int32),
+        y=jnp.where(valid, y + 1, 0).astype(jnp.int32),
+        z=jnp.where(valid, z + 1, 0).astype(jnp.int32),
+        valid=valid,
+        count=count,
+        threshold=threshold,
+    )
+
+
 def detect_level(
     prev: jnp.ndarray,
     cur: jnp.ndarray,
@@ -130,5 +153,12 @@ def detect_level(
     cap: int,
     use_pallas=None,
 ) -> LevelDetections:
+    if _use_pallas_compact(use_pallas) and jax.default_backend() == "tpu":
+        from .pallas.detect_kernel import detect_level_pallas
+
+        idx, count, thres = detect_level_pallas(
+            prev, cur, nxt, peak_thresh, cap
+        )
+        return decode_indices(idx, count, thres, cur.shape)
     mask, thres = extrema_mask(prev, cur, nxt, peak_thresh)
     return compact(mask, cap, thres, use_pallas)

@@ -155,6 +155,11 @@ FACE_MXU = _os.environ.get("SIFT3D_FACE_MXU", "0") == "1"
 # signed-zero handling match the ndot left-to-right order exactly, so the
 # result is bit-identical unless the compiler was contracting the ndot
 # mul+add chains into FMAs (the parity-gated A/B decides).
+# "anti" exploits the icosahedron's central symmetry: the 20 outward
+# normals form 10 exact bitwise +- pairs (verified at import), so the
+# second member's dot is one exact negation instead of a 3-mul/2-add dot.
+# Fold order stays 0..19, so selection is identical except on exact-tie
+# inputs (measure-zero; covered by the parity-gated A/B).
 FACE_SELECT = _os.environ.get("SIFT3D_FACE_SELECT", "ndot")
 
 SENTINEL = 1 << 20  # offset-map value for positions with no contribution
@@ -349,6 +354,28 @@ def _kernel(
                     else:
                         acc = (acc + t) if v > 0 else (acc - t)
                 return acc
+        elif FACE_SELECT == "anti":
+            NRMf = np.asarray(NRM, np.float32)
+            anti = {}
+            for fi in range(20):
+                for fj in range(fi):
+                    if np.array_equal(NRMf[fi], -NRMf[fj]):
+                        anti[fi] = fj
+            _dcache = {}
+
+            def ndot(i):
+                if i in _dcache:
+                    return _dcache[i]
+                if i in anti:
+                    v = -_dcache[anti[i]]
+                else:
+                    v = (
+                        f32(NRM[i, 0]) * grx
+                        + f32(NRM[i, 1]) * gry
+                        + f32(NRM[i, 2]) * grz
+                    )
+                _dcache[i] = v
+                return v
         else:
             def ndot(i):
                 return (

@@ -125,3 +125,28 @@ def test_blur_kernel2_matches_xla(shape, sigma):
     a = np.asarray(gaussian_blur(jnp.asarray(v), sigma))
     b = np.asarray(gaussian_blur_pallas2(jnp.asarray(v), sigma, interpret=True))
     np.testing.assert_allclose(a, b, atol=2e-6)
+
+
+@pytest.mark.parametrize("shape", [(32, 32, 32), (16, 24, 40), (8, 8, 8)])
+def test_fused_detect_kernel_matches_xla_path(shape):
+    from sift3d_tpu.ops import detect as D
+    from sift3d_tpu.ops.pallas.detect_kernel import detect_level_pallas
+
+    rng = np.random.default_rng(0)
+    prev, cur, nxt = (
+        jnp.asarray(rng.standard_normal(shape), jnp.float32) for _ in range(3)
+    )
+    cap = 512
+    mask, thres = D.extrema_mask(prev, cur, nxt, 0.1)
+    ref = D.compact(mask, cap, thres, use_pallas=False)
+    idx, count, thr = detect_level_pallas(
+        prev, cur, nxt, 0.1, cap, interpret=True
+    )
+    got = D.decode_indices(idx, count, thr, shape)
+    assert float(thr) == float(thres)  # threshold bit-identical (exact max)
+    assert int(got.count) == int(ref.count)  # counts ALL extrema, beyond cap
+    for f in ("x", "y", "z"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ref, f)[ref.valid]),
+            np.asarray(getattr(got, f)[got.valid]),
+        )
