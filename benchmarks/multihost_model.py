@@ -77,30 +77,41 @@ def main():
     weights = [8.0 ** -o for o in range(plan.num_octaves)]
     wsum = sum(weights)
 
-    def model(n_chips: int, n_hosts: int):
+    def model(n_chips: int, n_hosts: int, zy: tuple[int, int] | None = None):
+        n_z, n_y = zy or (n_chips, 1)
+        assert n_z * n_y == n_chips
         comm = 0.0
         n_coll = 0
         sharded_w = 0.0
         for o in range(plan.num_octaves):
             nz, ny, nx = plan.gss_meta(o, 0).shape
-            if nz < 8 * n_chips:   # octave replicated: no comm, no scaling
+            # octave shards only if BOTH partitioned axes keep >= 8 local
+            # rows (parallel/sharded_pallas.can_shard); else it replicates
+            if nz < 8 * n_z or ny < 8 * n_y:
                 continue
             sharded_w += weights[o] / wsum
-            plane = ny * nx * 4
+            plane_z = (ny // n_y) * nx * 4   # bytes per exchanged z-row
+            plane_y = (nz // n_z) * nx * 4   # bytes per exchanged y-column
             for i, s in enumerate(sig):
                 if o > 0 and i == 0:
                     continue
                 hw = math.ceil(3.0 * float(s))
-                # z-pass halo: hw rows each direction, each boundary
-                comm += 2 * hw * plane / (ICI_GBS * 1e9)
+                # halo per sharded axis: hw rows each direction
+                comm += 2 * hw * plane_z / (ICI_GBS * 1e9)
                 n_coll += 2
+                if n_y > 1:
+                    comm += 2 * hw * plane_y / (ICI_GBS * 1e9)
+                    n_coll += 2
             dl = cfg.dog_levels
             # pmax per detect level + extension halos (desc window radius)
             for i in range(1, dl - 1):
                 meta = plan.gss_meta(o, i)
                 r = 2.0 * 7.071067812 * meta.scale / meta.unit
-                comm += 2 * math.ceil(r) * plane / (ICI_GBS * 1e9)
+                comm += 2 * math.ceil(r) * plane_z / (ICI_GBS * 1e9)
                 n_coll += 3  # pmax + 2 halo hops (amortised)
+                if n_y > 1:
+                    comm += 2 * math.ceil(r) * plane_y / (ICI_GBS * 1e9)
+                    n_coll += 2
         # DCN share: fraction of boundary crossings on DCN
         if n_hosts > 1:
             dcn_frac = (n_hosts - 1) / max(n_chips - 1, 1)
@@ -111,12 +122,16 @@ def main():
         t_n = t1 * (sharded_w / n_chips + (1.0 - sharded_w)) + comm
         eff = t1 / (n_chips * t_n)
         return {"chips": n_chips, "hosts": n_hosts,
+                "mesh_zy": list(zy or (n_chips, 1)),
                 "predicted_step_s": round(t_n, 4),
                 "comm_s": round(comm, 4),
                 "efficiency": round(eff, 3)}
 
     rows = [model(2, 1), model(4, 1), model(8, 1), model(8, 2), model(16, 2),
-            model(32, 4)]
+            model(32, 4),
+            # 2-D (z x y) meshes: small octaves keep sharding where the 1-D
+            # split replicates them (the round-3 32-chip collapse)
+            model(16, 2, (4, 4)), model(32, 4, (8, 4)), model(32, 4, (4, 8))]
     section = {
         "assumptions": {
             "ici_gbs": ICI_GBS, "allgather_gbs": AG_GBS, "dcn_gbs": DCN_GBS,
@@ -130,11 +145,13 @@ def main():
             "slab would drop under 8 rows replicate (Amdahl tail); comm = "
             "blur z-halos + extension halos + pmax latencies + descriptor "
             "allgather. Single-pair LATENCY efficiency clears the 80% bar "
-            "at the 2-host/8-chip config (0.93) and degrades beyond 16 "
-            "chips as the replicated small-octave tail dominates; "
-            "THROUGHPUT (volumes/s, the BASELINE metric) keeps scaling "
-            "because pipelined pairs overlap the replicated tail of one "
-            "pair with the sharded stages of the next."),
+            "at the 2-host/8-chip config (0.92) and, on a 1-D z mesh, "
+            "collapses at 32 chips (0.198) as small octaves replicate; the "
+            "2-D (z x y) meshes (round 4, parallel/sharded_pallas.py) keep "
+            "those octaves sharded and recover 32 chips to 0.78 and 16 "
+            "chips to 0.88. THROUGHPUT (volumes/s, the BASELINE metric) "
+            "scales further because pipelined pairs overlap the replicated "
+            "tail of one pair with the sharded stages of the next."),
         "rows": rows,
     }
     out = Path(args.out)

@@ -136,7 +136,8 @@ def _core_offset_maps(wshape, cp):
 
 
 def _desc_one_block_pallas(
-    gss_pad, bx, by, bz, rot, kp_ok, meta: LevelMeta, consts, z_off=0
+    gss_pad, bx, by, bz, rot, kp_ok, meta: LevelMeta, consts, z_off=0,
+    y_off=0,
 ):
     """Pallas-kernel variant of _desc_one_block (same outputs).
 
@@ -160,7 +161,7 @@ def _desc_one_block_pallas(
 
     wins, starts = W.gather_windows(
         gss_pad, bx, by, bz, wshape, z_off=z_off, nzp=nz + 2,
-        use_pallas=True,
+        y_off=y_off, nyp=ny + 2, use_pallas=True,
     )
     win = jnp.pad(wins.reshape(B, Cw), ((0, 0), (0, Cp - Cw)))
 
@@ -198,7 +199,8 @@ def _desc_one_block_pallas(
 
 
 def _desc_one_block(
-    gss_pad, bx, by, bz, rot, kp_ok, meta: LevelMeta, consts, z_off=0
+    gss_pad, bx, by, bz, rot, kp_ok, meta: LevelMeta, consts, z_off=0,
+    y_off=0,
 ):
     """Descriptors for one block of keypoints. rot: (B, 3, 3) (columns
     [v1 v2 vr]); the reference transposes it before use
@@ -211,7 +213,8 @@ def _desc_one_block(
     C = (Wz - 2) * (Wy - 2) * (Wx - 2)
 
     wins, starts = W.gather_windows(
-        gss_pad, bx, by, bz, wshape, z_off=z_off, nzp=nz + 2
+        gss_pad, bx, by, bz, wshape, z_off=z_off, nzp=nz + 2,
+        y_off=y_off, nyp=ny + 2,
     )
     az, ay, ax = W.core_coords(starts, wshape)
     gx, gy, gz = W.central_gradients(wins, unit)
@@ -306,12 +309,13 @@ def extract_descriptors(
     meta: LevelMeta,
     cfg: SiftConfig,
     z_off=0,
+    y_off=0,
 ) -> DescriptorResult:
     """Descriptor stage for one pyramid level.
 
     det: level detections (cap); rot: (cap, 3, 3); accepted: (cap,) bool —
-    keypoints that survived orientation. `z_off`: slab offset when gss_pad
-    is a halo-extended local z-slab (multi-chip path); 0 single-chip.
+    keypoints that survived orientation. `z_off`/`y_off`: slab offsets when
+    gss_pad is a halo-extended local block (multi-chip path); 0 single-chip.
     """
     scale32 = np.float32(meta.scale)
     sigma = float(np.float32(scale32 * np.float32(DESC_SIG_FCTR)))
@@ -358,7 +362,7 @@ def extract_descriptors(
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i * block, block)
         d = block_fn(
             gss_pad, sl(xs), sl(ys), sl(zs), sl(rots), sl(oks), meta, consts,
-            z_off,
+            z_off, y_off,
         )
         acc = jax.lax.dynamic_update_slice(acc, d, (i * block, 0))
         return i + 1, acc

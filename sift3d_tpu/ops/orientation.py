@@ -42,12 +42,14 @@ def _window_stats(
     wshape: tuple[int, int, int],
     cfg: SiftConfig,
     z_off=0,
+    y_off=0,
 ):
     """Structure tensor (cap, 6) + mean gradient (cap, 3), chunked over
     keypoints so only kp_block windows are live at once."""
     kp_block = cfg.kp_block
     nz, ny, nx = meta.shape
-    nzp = nz + 2  # global padded z-extent (gss_pad may be a local slab)
+    nzp = nz + 2  # global padded extents (gss_pad may be a local slab)
+    nyp = ny + 2
     unit = meta.unit
     cap = det.x.shape[0]
     nblocks = -(-cap // kp_block)
@@ -64,7 +66,8 @@ def _window_stats(
     def block(args):
         bx, by, bz = args
         wins, starts = W.gather_windows(
-            gss_pad, bx, by, bz, wshape, z_off=z_off, nzp=nzp
+            gss_pad, bx, by, bz, wshape, z_off=z_off, nzp=nzp,
+            y_off=y_off, nyp=nyp,
         )
         az, ay, ax = W.core_coords(starts, wshape)
         gx, gy, gz = W.central_gradients(wins, unit)
@@ -125,7 +128,7 @@ def _window_stats(
 
         wins, starts = W.gather_windows(
             gss_pad, bx, by, bz, wshape, z_off=z_off, nzp=nzp,
-            use_pallas=True,
+            y_off=y_off, nyp=nyp, use_pallas=True,
         )
         win = jnp.pad(wins.reshape(B, Cw), ((0, 0), (0, Cp - Cw)))
         maps_np = ori_window_maps(wshape, Cp)
@@ -196,11 +199,12 @@ def assign_orientation(
     meta: LevelMeta,
     cfg: SiftConfig,
     z_off=0,
+    y_off=0,
 ) -> OrientationResult:
     """Full orientation stage for one pyramid level.
 
-    `z_off`: z-slab offset when `gss_pad` is a halo-extended local slab of
-    the level (multi-chip shard_map path); 0 on a single chip."""
+    `z_off`/`y_off`: slab offsets when `gss_pad` is a halo-extended local
+    block of the level (multi-chip shard_map path); 0 on a single chip."""
     import numpy as np
 
     scale32 = np.float32(meta.scale)
@@ -212,7 +216,8 @@ def assign_orientation(
     )  # (Wz, Wy, Wx) against padded dims
 
     st_packed, mg = _window_stats(
-        gss_pad, det, meta, r_vox, win_radius, sigma, wsz, cfg, z_off=z_off
+        gss_pad, det, meta, r_vox, win_radius, sigma, wsz, cfg,
+        z_off=z_off, y_off=y_off,
     )
     st = _sym_from_packed(st_packed)
 

@@ -89,6 +89,8 @@ def gather_windows(
     wshape: tuple[int, int, int],
     z_off=0,
     nzp: int | None = None,
+    y_off=0,
+    nyp: int | None = None,
     use_pallas: bool = False,
 ):
     """Gather (B, Wz, Wy, Wx) windows centred on integer keypoint coords.
@@ -98,17 +100,20 @@ def gather_windows(
     so a core voxel at window index j (axis offset after trimming the
     gradient margin) has unpadded coordinate s + j.
 
-    Multi-chip z-slab mode: `vol_padded` may instead be a halo-extended
-    local slab whose row `zp - z_off` holds the GLOBAL padded row `zp`
-    (parallel/sharded_pallas.py). Coords stay global; pass the global padded
-    z-extent as `nzp` so the start clamp is identical to the single-chip
-    gather, and the slab's halo must cover every clamped window of its own
-    keypoints. `z_off` may be a traced scalar.
+    Multi-chip block mode: `vol_padded` may instead be a halo-extended
+    local slab whose row `zp - z_off` (and, on a 2-D z x y mesh, column
+    `yp - y_off`) holds the GLOBAL padded row zp / column yp
+    (parallel/sharded_pallas.py). Coords stay global; pass the global
+    padded extents as `nzp`/`nyp` so the start clamps are identical to the
+    single-chip gather, and the slab's halos must cover every clamped
+    window of its own keypoints. `z_off`/`y_off` may be traced scalars.
     """
     Wz, Wy, Wx = wshape
-    nzp_local, nyp, nxp = vol_padded.shape
+    nzp_local, nyp_local, nxp = vol_padded.shape
     if nzp is None:
         nzp = nzp_local
+    if nyp is None:
+        nyp = nyp_local
 
     def start(c, W, npad):
         rm = (W - 1) // 2
@@ -127,13 +132,13 @@ def gather_windows(
     if use_pallas and PALLAS_GATHER[0] and jax.default_backend() == "tpu":
         from .pallas.gather_kernel import gather_windows_pallas
 
-        wins = gather_windows_pallas(vol_padded, sz - z_off, sy, sx,
+        wins = gather_windows_pallas(vol_padded, sz - z_off, sy - y_off, sx,
                                      (Wz, Wy, Wx))
         return wins, (sz, sy, sx)
 
     def one(s0, s1, s2):
         return jax.lax.dynamic_slice(
-            vol_padded, (s0 - z_off, s1, s2), (Wz, Wy, Wx)
+            vol_padded, (s0 - z_off, s1 - y_off, s2), (Wz, Wy, Wx)
         )
 
     wins = jax.vmap(one)(sz, sy, sx)

@@ -28,18 +28,27 @@ from .mesh import BLOCK_AXIS
 from ..pyramid import gaussian_kernel, smoothing_matrix
 
 
-def exchange_halo(block: jnp.ndarray, halo: int, axis_name: str = BLOCK_AXIS):
+def exchange_halo(block: jnp.ndarray, halo: int, axis_name: str = BLOCK_AXIS,
+                  dim: int = 0):
     """Inside shard_map: return (lo_halo, hi_halo) slabs of depth `halo`
-    gathered from the z-neighbours, zero-filled at the domain boundary.
+    along array axis `dim`, gathered from the mesh neighbours on
+    `axis_name`, zero-filled at the domain boundary.
 
-    block: (nz_local, ny, nx). Supports halo > nz_local via multiple hops.
+    Supports halo > the local extent via multiple ring hops. `dim != 0`
+    (e.g. y-halos on a 2-D z x y mesh) slices along that axis directly —
+    no transposes.
     """
     n = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
-    nz_local = block.shape[0]
+    nz_local = block.shape[dim]
 
-    lo = jnp.zeros((halo,) + block.shape[1:], block.dtype)
-    hi = jnp.zeros((halo,) + block.shape[1:], block.dtype)
+    hshape = list(block.shape)
+    hshape[dim] = halo
+    lo = jnp.zeros(tuple(hshape), block.dtype)
+    hi = jnp.zeros(tuple(hshape), block.dtype)
+
+    def take(a, start, size):
+        return jax.lax.slice_in_dim(a, start, start + size, axis=dim)
 
     hops = -(-halo // nz_local)
     tie = None  # chains the ppermutes into a total order (see below)
@@ -47,8 +56,8 @@ def exchange_halo(block: jnp.ndarray, halo: int, axis_name: str = BLOCK_AXIS):
         # slab from neighbour at distance h below (towards index 0)
         depth = min(nz_local, halo - (h - 1) * nz_local)
         # what we contribute to the neighbour h above us: our top `depth`
-        up_send = block[-depth:] if depth < nz_local else block
-        down_send = block[:depth] if depth < nz_local else block
+        up_send = take(block, nz_local - depth, depth)
+        down_send = take(block, 0, depth)
 
         # Serialize the permutes with value-preserving barriers: XLA's CPU
         # thunk executor may start independent collectives in different
@@ -72,15 +81,23 @@ def exchange_halo(block: jnp.ndarray, halo: int, axis_name: str = BLOCK_AXIS):
         recv_hi = jnp.where(have_hi, recv_hi, 0.0)
 
         # place into halo buffers: hop h fills rows [halo - h*nz_local ...]
+        def put(buf, val, start):
+            st = [0] * block.ndim
+            st[dim] = start
+            return jax.lax.dynamic_update_slice(buf, val, tuple(st))
+
         lo_start = max(halo - h * nz_local, 0)
-        lo = jax.lax.dynamic_update_slice(
-            lo, recv_lo[-depth:] if depth < recv_lo.shape[0] else recv_lo,
-            (lo_start,) + (0,) * (block.ndim - 1),
+        lo = put(
+            lo,
+            take(recv_lo, recv_lo.shape[dim] - depth, depth)
+            if depth < recv_lo.shape[dim] else recv_lo,
+            lo_start,
         )
         hi_start = (h - 1) * nz_local
-        hi = jax.lax.dynamic_update_slice(
-            hi, recv_hi[:depth] if depth < recv_hi.shape[0] else recv_hi,
-            (hi_start,) + (0,) * (block.ndim - 1),
+        hi = put(
+            hi,
+            take(recv_hi, 0, depth) if depth < recv_hi.shape[dim] else recv_hi,
+            hi_start,
         )
     return lo, hi
 
@@ -121,51 +138,82 @@ def _zpass_matrices_cached(nz, n_shards, sigma, halo):
     return _zpass_matrices(nz, n_shards, gaussian_kernel(sigma), halo)
 
 
-def sharded_gaussian_blur(vol: jnp.ndarray, sigma: float, mesh: Mesh):
-    """Separable blur on a z-block-sharded volume.
+def _axis_halo(n: int, n_shards: int, hw: int) -> int:
+    """Halo depth for one blurred axis: interior rows reach +-hw columns;
+    boundary rows' mirrored taps stay within hw+1 of the domain edge, i.e.
+    inside the edge shards themselves whenever L >= hw+2, and inside
+    halo+block otherwise. _zpass_matrices validates that no kernel mass
+    falls outside the window and raises if the halo must be widened."""
+    if n // n_shards < hw + 2:
+        return hw + 2  # tiny blocks: mirrored taps may cross shards
+    return max(hw, 1)
 
-    X and Y passes are purely local matmuls; the Z pass exchanges hw+1-deep
-    halos with ppermute and applies per-shard slices of the global smoothing
-    matrix, reproducing the reference boundary math bit-for-bit with the
-    single-device path.
+
+def sharded_gaussian_blur(vol: jnp.ndarray, sigma: float, mesh: Mesh):
+    """Separable blur on a block-sharded volume (z blocks, or z x y blocks
+    on a 2-D mesh).
+
+    The X pass is a purely local matmul; each sharded axis (Z always, Y on
+    a 2-D mesh) exchanges hw+1-deep halos with ppermute and applies
+    per-shard slices of the global smoothing matrix, reproducing the
+    reference boundary math bit-for-bit with the single-device path.
     """
+    from .mesh import Y_AXIS, mesh_zy
+
     nz, ny, nx = vol.shape
-    n_shards = mesh.devices.size
-    assert nz % n_shards == 0, "z dim must divide the mesh for the halo path"
+    n_z, n_y = mesh_zy(mesh)
+    assert nz % n_z == 0, "z dim must divide the mesh for the halo path"
+    assert ny % n_y == 0, "y dim must divide the mesh for the halo path"
 
     kernel = gaussian_kernel(sigma)
     hw = len(kernel) // 2
-    # Interior rows reach +-hw columns; boundary rows' mirrored taps stay
-    # within hw+1 of the domain edge, i.e. inside the edge shards themselves
-    # whenever L >= hw+2, and inside halo+block otherwise. _zpass_matrices
-    # validates that no kernel mass falls outside the window and raises if
-    # the halo must be widened.
-    halo = max(hw, 1)
-    if nz // n_shards < hw + 2:
-        halo = hw + 2  # tiny blocks: mirrored taps may cross shards
+    halo_z = _axis_halo(nz, n_z, hw)
+    halo_y = _axis_halo(ny, n_y, hw)
 
-    Wz_shards = jnp.asarray(_zpass_matrices_cached(nz, n_shards, float(sigma), halo))
-    Wy = jnp.asarray(smoothing_matrix(ny, kernel))
+    Wz_shards = jnp.asarray(_zpass_matrices_cached(nz, n_z, float(sigma), halo_z))
     Wx = jnp.asarray(smoothing_matrix(nx, kernel))
     hi_prec = jax.lax.Precision.HIGHEST
+    two_d = n_y > 1
+    if two_d:
+        Wy_shards = jnp.asarray(
+            _zpass_matrices_cached(ny, n_y, float(sigma), halo_y))
+    else:
+        Wy_full = jnp.asarray(smoothing_matrix(ny, kernel))
 
-    def f(block, Wz_local):
-        # local X then Y passes
+    def f(block, Wz_local, Wy_local):
+        # local X pass
         out = jnp.einsum("xj,zyj->zyx", Wx, block,
                          preferred_element_type=jnp.float32, precision=hi_prec)
-        out = jnp.einsum("yj,zjx->zyx", Wy, out,
-                         preferred_element_type=jnp.float32, precision=hi_prec)
-        # halo exchange + local Z matmul
-        lo, hi = exchange_halo(out, halo)
-        ext = jnp.concatenate([lo, out, hi], axis=0)  # (L + 2*halo, ny, nx)
+        # Y pass: local matmul (1-D mesh) or y-halo exchange + per-shard
+        # matrix slice (2-D mesh)
+        if two_d:
+            lo, hi = exchange_halo(out, halo_y, Y_AXIS, dim=1)
+            ext = jnp.concatenate([lo, out, hi], axis=1)
+            out = jnp.einsum("yj,zjx->zyx", Wy_local[0], ext,
+                             preferred_element_type=jnp.float32,
+                             precision=hi_prec)
+        else:
+            out = jnp.einsum("yj,zjx->zyx", Wy_local, out,
+                             preferred_element_type=jnp.float32,
+                             precision=hi_prec)
+        # z-halo exchange + local Z matmul (depends on the y output, so the
+        # two exchanges are naturally ordered)
+        lo, hi = exchange_halo(out, halo_z)
+        ext = jnp.concatenate([lo, out, hi], axis=0)  # (L + 2*halo, ., nx)
         out = jnp.einsum("zj,jyx->zyx", Wz_local[0], ext,
                          preferred_element_type=jnp.float32, precision=hi_prec)
         return out
 
-    spec_v = P(BLOCK_AXIS, None, None)
-    spec_w = P(BLOCK_AXIS, None, None)
+    if two_d:
+        spec_v = P(BLOCK_AXIS, Y_AXIS, None)
+        specs_w = (P(BLOCK_AXIS, None, None), P(Y_AXIS, None, None))
+        wy_arg = Wy_shards
+    else:
+        spec_v = P(BLOCK_AXIS, None, None)
+        specs_w = (P(BLOCK_AXIS, None, None), P())
+        wy_arg = Wy_full
     return shard_map(
         f, mesh=mesh,
-        in_specs=(spec_v, spec_w),
+        in_specs=(spec_v,) + specs_w,
         out_specs=spec_v,
-    )(vol, Wz_shards)
+    )(vol, Wz_shards, wy_arg)

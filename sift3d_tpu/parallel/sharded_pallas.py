@@ -30,7 +30,7 @@ module are totally ordered with value-preserving optimization_barriers
 (see parallel/halo.py).
 
 Keypoint semantics: each device keeps the keypoints whose extremum voxel
-lies in its own z-slab (per-shard capacity cap_for_octave(o)/n, floor 128).
+lies in its own block (per-shard capacity cap_for_octave(o)/n, floor 128).
 The merged lane order — (octave, level), then shard, then scan — equals the
 single-chip (octave, level, scan) order, so downstream matching results are
 identical to `SIFT3D.extract` (tests/test_sharded.py).
@@ -66,27 +66,28 @@ from ..pipeline import (
 )
 from ..pyramid import PyramidPlan, make_plan
 from .halo import exchange_halo, sharded_gaussian_blur
-from .mesh import BLOCK_AXIS
+from .mesh import BLOCK_AXIS, Y_AXIS, mesh_zy
 
 
-def _window_zextent(meta, sig_fctr: float, rad_fctr: float) -> int:
-    """Static z window size for one stage at one level (the same float32
-    chain as ops/orientation.py:190-196 and ops/descriptor.py:308-315)."""
+def _window_extent(meta, sig_fctr: float, rad_fctr: float, axis: int) -> int:
+    """Static window size along `axis` for one stage at one level (the same
+    float32 chain as ops/orientation.py:190-196, ops/descriptor.py:308-315)."""
     scale32 = np.float32(meta.scale)
     sigma = float(np.float32(np.float32(sig_fctr) * scale32))
     win_radius = float(np.float32(np.float32(sigma) * np.float32(rad_fctr)))
     r_vox = W.radius_voxels(win_radius, meta.unit)
-    return W.window_size(r_vox, meta.shape[0] + 2)
+    return W.window_size(r_vox, meta.shape[axis] + 2)
 
 
-def _level_halo(meta, n_shards: int) -> int:
-    """Halo depth so every owned keypoint's clamped window gather stays
-    inside the extended slab: H >= max(rm, Wz - L - 1) with rm = (Wz-1)//2
-    (start >= z+1-rm and the nzp-Wz clamp on the last shard), +1 margin."""
-    L = meta.shape[0] // n_shards
+def _level_halo(meta, n_shards: int, axis: int = 0) -> int:
+    """Halo depth along `axis` so every owned keypoint's clamped window
+    gather stays inside the extended slab: H >= max(rm, Wz - L - 1) with
+    rm = (Wz-1)//2 (start >= c+1-rm and the npad-W clamp on the last
+    shard), +1 margin."""
+    L = meta.shape[axis] // n_shards
     Wz = max(
-        _window_zextent(meta, ORI_SIG_FCTR, ORI_RAD_FCTR),
-        _window_zextent(meta, DESC_SIG_FCTR, DESC_RAD_FCTR),
+        _window_extent(meta, ORI_SIG_FCTR, ORI_RAD_FCTR, axis),
+        _window_extent(meta, DESC_SIG_FCTR, DESC_RAD_FCTR, axis),
     )
     rm = (Wz - 1) // 2
     return max(rm, Wz - L - 1) + 1
@@ -105,17 +106,34 @@ class ShardedPallasSIFT3D:
         self.mesh = mesh
         self.cfg = cfg or SiftConfig()
         self.min_local = min_local
-        self.n = mesh.devices.size
+        self.n_z, self.n_y = mesh_zy(mesh)
+        self.two_d = self.n_y > 1
+        self.n = self.n_z * self.n_y
         self._jits = {}
 
     # -- static helpers -----------------------------------------------------
 
     def can_shard(self, shape) -> bool:
-        return shape[0] % self.n == 0 and shape[0] // self.n >= self.min_local
+        ok_z = (shape[0] % self.n_z == 0
+                and shape[0] // self.n_z >= self.min_local)
+        ok_y = (shape[1] % self.n_y == 0
+                and shape[1] // self.n_y >= self.min_local)
+        return ok_z and ok_y
+
+    def _block_spec(self):
+        if self.two_d:
+            return P(BLOCK_AXIS, Y_AXIS, None)
+        return P(BLOCK_AXIS, None, None)
+
+    def _lane_spec(self):
+        """Keypoint lane arrays: axis 0 split over every mesh axis."""
+        if self.two_d:
+            return P((BLOCK_AXIS, Y_AXIS))
+        return P(BLOCK_AXIS)
 
     def _sharding(self, for_shape):
         if self.can_shard(for_shape):
-            return NamedSharding(self.mesh, P(BLOCK_AXIS, None, None))
+            return NamedSharding(self.mesh, self._block_spec())
         return NamedSharding(self.mesh, P())
 
     # -- phase 1: pyramids --------------------------------------------------
@@ -159,10 +177,14 @@ class ShardedPallasSIFT3D:
 
     def _extend_octave(self, plan, o):
         """For each detect level of a sharded octave: pmax threshold, 1-deep
-        DoG halo slab, and the halo-extended padded GSS slab. All collectives
-        of the module are barrier-chained."""
-        cfg, mesh, n = self.cfg, self.mesh, self.n
+        DoG halo slab, and the halo-extended padded GSS slab. On a 2-D mesh
+        the y-halos are exchanged on the already-z-extended slabs, so corner
+        regions arrive via two hops. All collectives of the module are
+        barrier-chained."""
+        cfg, mesh = self.cfg, self.mesh
+        two_d = self.two_d
         dl = cfg.dog_levels
+        blk = self._block_spec()
 
         def extend(dogs, gsss):
             # dogs: octave's dl DoG levels; gsss: keypoint-level GSS arrays
@@ -170,20 +192,31 @@ class ShardedPallasSIFT3D:
             tok = None
             for i in range(1, dl - 1):
                 meta = plan.gss_meta(o, i)
-                halo = _level_halo(meta, n)
+                halo = _level_halo(meta, self.n_z, 0)
+                halo_y = _level_halo(meta, self.n_y, 1) if two_d else 0
 
                 def f(dogc, gss):
                     th = jnp.max(jnp.abs(dogc))
                     th = jax.lax.pmax(th, BLOCK_AXIS)
+                    if two_d:
+                        th = jax.lax.pmax(th, Y_AXIS)
                     dogc_t, _ = jax.lax.optimization_barrier((dogc, th))
                     lo1, hi1 = exchange_halo(dogc_t, 1)
                     ext1 = jnp.concatenate([lo1, dogc, hi1], axis=0)
+                    if two_d:
+                        ylo1, yhi1 = exchange_halo(ext1, 1, Y_AXIS, dim=1)
+                        ext1 = jnp.concatenate([ylo1, ext1, yhi1], axis=1)
                     gss_t, _ = jax.lax.optimization_barrier((gss, ext1[0, 0, 0]))
                     glo, ghi = exchange_halo(gss_t, halo)
-                    gext = jnp.pad(
-                        jnp.concatenate([glo, gss, ghi], axis=0),
-                        ((0, 0), (1, 1), (1, 1)),
-                    )
+                    gext = jnp.concatenate([glo, gss_t, ghi], axis=0)
+                    if two_d:
+                        gext, _ = jax.lax.optimization_barrier(
+                            (gext, ext1[0, 0, 0]))
+                        gylo, gyhi = exchange_halo(gext, halo_y, Y_AXIS, dim=1)
+                        gext = jnp.concatenate([gylo, gext, gyhi], axis=1)
+                        gext = jnp.pad(gext, ((0, 0), (0, 0), (1, 1)))
+                    else:
+                        gext = jnp.pad(gext, ((0, 0), (1, 1), (1, 1)))
                     return th, ext1[None], gext[None]
 
                 a, b = dogs[i], gsss[i - 1]
@@ -191,8 +224,8 @@ class ShardedPallasSIFT3D:
                     a, b, _ = jax.lax.optimization_barrier((a, b, tok))
                 th, ext1, gext = shard_map(
                     f, mesh=mesh,
-                    in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS)),
-                    out_specs=(P(), P(BLOCK_AXIS), P(BLOCK_AXIS)),
+                    in_specs=(blk, blk),
+                    out_specs=(P(), self._lane_spec(), self._lane_spec()),
                     check_vma=False,
                 )(a, b)
                 tok = th
@@ -205,36 +238,47 @@ class ShardedPallasSIFT3D:
 
     def _levels_octave_sharded(self, plan, o):
         cfg, mesh, n = plan.cfg, self.mesh, self.n
+        two_d = self.two_d
         dl = cfg.dog_levels
         cap_local = max(cfg.cap_for_octave(o) // n, 128)
+        blk = self._block_spec()
+        lane = self._lane_spec()
 
         def levels(dogs, ext):
             sets = []
             for i in range(1, dl - 1):
                 meta = plan.gss_meta(o, i)
-                nz = meta.shape[0]
-                halo = _level_halo(meta, n)
+                nz, ny = meta.shape[0], meta.shape[1]
+                halo = _level_halo(meta, self.n_z, 0)
+                halo_y = _level_halo(meta, self.n_y, 1) if two_d else 0
 
                 def f(dogp, dogn, e, th):
-                    ext1 = e["dog_ext"][0]   # (L+2, ny, nx)
-                    gext = e["gss_ext"][0]   # (L+2*halo, ny+2, nx+2)
+                    # 1-D: ext1 (L+2, ny, nx); 2-D: (L+2, Ly+2, nx)
+                    ext1 = e["dog_ext"][0]
+                    gext = e["gss_ext"][0]
                     L = dogp.shape[0]
-                    idx = jax.lax.axis_index(BLOCK_AXIS)
-                    z0 = idx * L
+                    z0 = jax.lax.axis_index(BLOCK_AXIS) * L
                     thres = jnp.float32(cfg.peak_thresh) * th
 
                     c = ext1[1:-1, 1:-1, 1:-1]
-                    passed = (c > thres) | (c < -thres)
+                    # 2-D: c covers ALL local y rows (halo columns supply
+                    # the y neighbours), so dogp/dogn keep their full local
+                    # y extent; 1-D keeps the global-interior slicing.
+                    if two_d:
+                        pv, nv = dogp[:, :, 1:-1], dogn[:, :, 1:-1]
+                    else:
+                        pv, nv = dogp[:, 1:-1, 1:-1], dogn[:, 1:-1, 1:-1]
                     neigh = (
-                        dogp[:, 1:-1, 1:-1],
+                        pv,
                         ext1[1:-1, 1:-1, :-2],
                         ext1[1:-1, 1:-1, 2:],
                         ext1[1:-1, 2:, 1:-1],
                         ext1[1:-1, :-2, 1:-1],
                         ext1[2:, 1:-1, 1:-1],
                         ext1[:-2, 1:-1, 1:-1],
-                        dogn[:, 1:-1, 1:-1],
+                        nv,
                     )
+                    passed = (c > thres) | (c < -thres)
                     is_min = passed
                     is_max = passed
                     for nb in neigh:
@@ -243,28 +287,44 @@ class ShardedPallasSIFT3D:
                     mask = is_min | is_max
                     gz = z0 + jax.lax.broadcasted_iota(jnp.int32, mask.shape, 0)
                     mask = mask & (gz >= 1) & (gz <= nz - 2)
+                    if two_d:
+                        Ly = mask.shape[1]
+                        y0 = jax.lax.axis_index(Y_AXIS) * Ly
+                        gy = y0 + jax.lax.broadcasted_iota(
+                            jnp.int32, mask.shape, 1)
+                        mask = mask & (gy >= 1) & (gy <= ny - 2)
+                    else:
+                        y0 = 0
 
                     det = D.compact(mask, cap_local, thres,
                                     use_pallas=cfg.use_pallas)
                     det = det._replace(
                         z=jnp.where(det.valid, det.z - 1 + z0, 0)
                     )
+                    if two_d:
+                        # mask rows cover all local y: compact's +1 interior
+                        # shift does not apply; global y = row + y0
+                        det = det._replace(
+                            y=jnp.where(det.valid, det.y - 1 + y0, 0)
+                        )
                     z_off = z0 - (halo - 1)
+                    y_off = (y0 - (halo_y - 1)) if two_d else 0
                     return _orient_describe(
-                        det, gext, plan=plan, o=o, i=i, z_off=z_off
+                        det, gext, plan=plan, o=o, i=i, z_off=z_off,
+                        y_off=y_off,
                     )
 
                 sets.append(
                     shard_map(
                         f, mesh=mesh,
                         in_specs=(
-                            P(BLOCK_AXIS), P(BLOCK_AXIS),
-                            {"thres_max": P(), "dog_ext": P(BLOCK_AXIS),
-                             "gss_ext": P(BLOCK_AXIS)},
+                            blk, blk,
+                            {"thres_max": P(), "dog_ext": lane,
+                             "gss_ext": lane},
                             P(),
                         ),
                         out_specs=KeypointSet(
-                            *([P(BLOCK_AXIS)] * len(KeypointSet._fields))
+                            *([lane] * len(KeypointSet._fields))
                         ),
                         check_vma=False,
                     )(dogs[i - 1], dogs[i + 1], ext[i - 1],
@@ -298,6 +358,8 @@ class ShardedPallasSIFT3D:
 
     def _merge(self, shardedness):
         mesh = self.mesh
+        two_d = self.two_d
+        lane = self._lane_spec()
         nf = len(KeypointSet._fields)
 
         def merge(sets):
@@ -313,6 +375,14 @@ class ShardedPallasSIFT3D:
                     if sh:
                         if tok is not None:
                             a, _ = jax.lax.optimization_barrier((a, tok))
+                        # y first, z second -> final lane order is z-major
+                        # (iz, iy), matching P((BLOCK_AXIS, Y_AXIS))
+                        if two_d:
+                            # the z gather consumes the y-gathered value,
+                            # so the two collectives are data-ordered
+                            a = jax.lax.all_gather(
+                                a, Y_AXIS, axis=0, tiled=True
+                            )
                         a = jax.lax.all_gather(
                             a, BLOCK_AXIS, axis=0, tiled=True
                         )
@@ -323,7 +393,7 @@ class ShardedPallasSIFT3D:
             gathered = shard_map(
                 f, mesh=mesh,
                 in_specs=tuple(
-                    P(BLOCK_AXIS) if sh else P() for sh in flags
+                    lane if sh else P() for sh in flags
                 ),
                 out_specs=P(),
                 check_vma=False,
@@ -409,7 +479,9 @@ def make_sharded_pallas_step(
     Same result contract as parallel/sharded.py:make_sharded_step; the
     callable is NOT one jit (phases are separate cached dispatches)."""
     sift = ShardedPallasSIFT3D(mesh, cfg, min_local)
-    vol_sharding = NamedSharding(mesh, P(BLOCK_AXIS, None, None))
+    from .mesh import block_sharding
+
+    vol_sharding = block_sharding(mesh)
 
     @jax.jit
     def match(ref, tar):

@@ -132,19 +132,20 @@ def _level_stage(dog_prev, dog_cur, dog_next, gss_level, *, plan, o, i):
     return _orient_describe(det, gss_pad, plan=plan, o=o, i=i)
 
 
-def _orient_describe(det, gss_pad, *, plan, o, i, z_off=0):
+def _orient_describe(det, gss_pad, *, plan, o, i, z_off=0, y_off=0):
     """Orientation + descriptors for one level's detections.
 
     Shared tail of the single-chip `_level_stage` and the multi-chip
     shard_map stage (parallel/sharded_pallas.py), where `gss_pad` is a
-    halo-extended local z-slab and `z_off` maps global padded z rows to
-    local slab rows.
+    halo-extended local block and `z_off`/`y_off` map global padded
+    rows/columns to local slab indices.
     """
     cfg = plan.cfg
     cap = det.x.shape[0]
     meta = plan.gss_meta(o, i)
 
-    ori = O.assign_orientation(gss_pad, det, meta, cfg, z_off=z_off)
+    ori = O.assign_orientation(gss_pad, det, meta, cfg, z_off=z_off,
+                               y_off=y_off)
     accepted = det.valid & (ori.status == 1)
 
     order = jnp.argsort(~accepted, stable=True)
@@ -159,7 +160,7 @@ def _orient_describe(det, gss_pad, *, plan, o, i, z_off=0):
     accepted = accepted[order]
 
     desc = DE.extract_descriptors(gss_pad, det, ori.rotation, accepted, meta,
-                                  cfg, z_off=z_off)
+                                  cfg, z_off=z_off, y_off=y_off)
 
     coord_factor = jnp.float32(2.0 ** o)
     xyz = jnp.stack([det.x, det.y, det.z], axis=-1)

@@ -37,6 +37,9 @@ def dump_tpu(volume, cfg=None) -> dict[str, np.ndarray]:
             out[f"gss_{o}_{i}"] = np.asarray(gss[o * gl + i])
         for i in range(dl):
             out[f"dog_{o}_{i}"] = np.asarray(dog[o * dl + i])
+    # free the dump's device pyramids before extract() builds its own set:
+    # at 512^3 two live pyramid sets (~3.2 GB each) exhaust HBM.
+    del gss, dog
 
     kps = sift.extract(vol)
     for field in ("xyz", "rxyz", "octave", "level", "scale", "rotation",
