@@ -27,21 +27,21 @@ from ..config import SiftConfig
 from ..pipeline import KeypointSet, _extract_impl
 from ..pyramid import PyramidPlan, make_plan
 from ..ops.match import ENHANCED, match_descriptors, match_coords
-from .mesh import BLOCK_AXIS
+from .mesh import BLOCK_AXIS, block_sharding, mesh_zy
 
 
 def _constrain(mesh: Mesh, x: jnp.ndarray, min_local: int = 8):
-    nz = x.shape[0]
-    n = mesh.devices.size
-    if nz % n == 0 and nz // n >= min_local:
-        return jax.lax.with_sharding_constraint(
-            x, NamedSharding(mesh, P(BLOCK_AXIS, None, None))
-        )
+    n_z, n_y = mesh_zy(mesh)
+    nz, ny = x.shape[0], x.shape[1]
+    if (nz % n_z == 0 and nz // n_z >= min_local
+            and ny % n_y == 0 and ny // n_y >= min_local):
+        return jax.lax.with_sharding_constraint(x, block_sharding(mesh))
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P()))
 
 
 def sharded_extract(vol: jnp.ndarray, plan: PyramidPlan, mesh: Mesh) -> KeypointSet:
-    """Extraction with z-block sharding constraints on every pyramid level."""
+    """Extraction with block sharding constraints (z, or z x y on a 2-D
+    mesh) on every pyramid level."""
     from ..ops.gaussian import xla_blur
 
     with xla_blur():
@@ -66,7 +66,7 @@ def make_sharded_step(
     # shard the XLA formulations, so the sharded step forces those.
     cfg = dataclasses.replace(cfg, use_pallas=False)
     plan = make_plan(cfg, shape)
-    vol_sharding = NamedSharding(mesh, P(BLOCK_AXIS, None, None))
+    vol_sharding = block_sharding(mesh)
 
     def step(ref_vol, tar_vol):
         ref = sharded_extract(ref_vol, plan, mesh)

@@ -231,3 +231,30 @@ def test_sharded_clustered_keypoints_overflow():
     rxyz = np.asarray(ref_c.xyz)[:n]
     so, ro = np.lexsort(sxyz.T), np.lexsort(rxyz.T)
     np.testing.assert_array_equal(sxyz[so], rxyz[ro])
+
+
+@needs_8
+def test_sharded_gspmd_step_2d_mesh():
+    """GSPMD path on a 2-D (2,4) mesh: block-sharding constraints partition
+    z x y; match pairs equal single-chip."""
+    m = M.make_mesh2d(2, 4)
+    cfg = SiftConfig(max_kp_per_level=256)
+    shape = (32, 32, 32)
+    ref = fixtures.smooth_random_volume(shape, seed=7, smooth=2)
+    tar = fixtures.smooth_random_volume(shape, seed=8, smooth=2)
+
+    step, vs = sharded.make_sharded_step(m, shape, cfg)
+    out = step(jax.device_put(ref, vs), jax.device_put(tar, vs))
+
+    sift = SIFT3D(cfg)
+    from sift3d_tpu import enhanced_match
+
+    rc, tc, valid = enhanced_match(sift.extract(ref), sift.extract(tar))
+
+    def pairs(rcoords, tcoords, vmask):
+        rcoords = np.asarray(rcoords)[np.asarray(vmask)]
+        tcoords = np.asarray(tcoords)[np.asarray(vmask)]
+        return {tuple(np.concatenate([a, b])) for a, b in zip(rcoords, tcoords)}
+
+    assert pairs(out["ref_coords"], out["tar_coords"], out["match_valid"]) \
+        == pairs(rc, tc, valid)
