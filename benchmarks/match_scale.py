@@ -20,18 +20,40 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 
 
-def synth_descriptors(n, seed, correlated_with=None, frac=0.3, rng=None):
-    """Unit-norm non-negative sparse descriptors; optionally make a fraction
-    near-duplicates of another set so the ratio test has real work to do."""
-    rng = rng or np.random.default_rng(seed)
+def _base(n, rng):
     d = rng.random((n, 768), dtype=np.float32)
     d[d < 0.85] = 0.0
-    if correlated_with is not None:
-        k = int(frac * min(n, len(correlated_with)))
-        idx = rng.choice(min(n, len(correlated_with)), k, replace=False)
-        d[idx] = correlated_with[idx] + 0.05 * rng.random((k, 768), dtype=np.float32)
     d /= np.linalg.norm(d, axis=1, keepdims=True) + 1e-12
     return d
+
+
+def synth_pair(n, m, rng, frac=0.24):
+    """(ref, tar) unit-norm sparse descriptor sets with a GRADED planted
+    structure so the ratio-threshold sweep discriminates (VERDICT r3 #7):
+    for k = frac*min(n,m)/2 ref descriptors, tar gets TWO noisy copies with
+    noise amplitudes e1 = e2*sqrt(rho_i), rho_i in [0.40, 0.97]. For unit
+    vectors d = 2-2*dot ~ e^2, so the planted top-2 ratio d1/d2 ~ rho_i:
+    the filter accepts iff d1/d2 < t^2 (Src/cMatcher.cc:81-97), giving
+    match counts that rise monotonically across the 0.7-0.9 sweep instead
+    of the round-3 fixture's all-or-nothing 15000."""
+    ref = _base(n, rng)
+    tar = _base(m, rng)
+    k = int(frac * min(n, m) / 2)
+    gi = rng.choice(n, k, replace=False)
+    slots = rng.choice(m, 2 * k, replace=False)
+    rho = np.linspace(0.40, 0.97, k, dtype=np.float32)
+    e2 = np.float32(0.22)
+    e1 = e2 * np.sqrt(rho)
+
+    def noisy(base_rows, amp):
+        u = rng.standard_normal(base_rows.shape).astype(np.float32)
+        u /= np.linalg.norm(u, axis=1, keepdims=True) + 1e-12
+        out = base_rows + amp[:, None] * u
+        return out / (np.linalg.norm(out, axis=1, keepdims=True) + 1e-12)
+
+    tar[slots[:k]] = noisy(ref[gi], e1)
+    tar[slots[k:]] = noisy(ref[gi], np.full(k, e2, np.float32))
+    return ref, tar
 
 
 def main():
@@ -55,8 +77,7 @@ def main():
     from sift3d_tpu.ops import match as M
 
     rng = np.random.default_rng(0)
-    ref = synth_descriptors(args.n, 0, rng=rng)
-    tar = synth_descriptors(args.m, 1, correlated_with=ref, rng=rng)
+    ref, tar = synth_pair(args.n, args.m, rng)
     ref_d = jax.device_put(ref)
     tar_d = jax.device_put(tar)
     rv = jnp.ones(args.n, bool)
