@@ -93,33 +93,41 @@ def _kernel(prev_ref, cm1_ref, cur_ref, cp1_ref, nxt_ref,
             is_max = is_max & (c > nb)
         m = is_min | is_max
 
-        count = jnp.sum(m.astype(jnp.int32))
+        # Per-hit extraction cost is one argmin over the searched region,
+        # so chunk the plane into ~16-row bands: at 512^2 planes a whole-
+        # plane argmin is 2000+ VREGs per hit (measured 67 ms/level); a
+        # 16-row band is ~30x cheaper and hit order stays ascending
+        # (bands ascending x per-band ascending positions).
+        my, mx = ny - 2, nx - 2
+        base = i * (my * mx)
+        pos = (sub - 1) * mx + (lane - 1)
+        RC = 16
+        for r0 in range(0, ny, RC):
+            r1 = min(r0 + RC, ny)
+            mc = m[r0:r1]
+            count = jnp.sum(mc.astype(jnp.int32))
 
-        @pl.when(count > 0)
-        def _():
-            # flat interior position: (z-1)*(my*mx) + (y-1)*mx + (x-1)
-            my, mx = ny - 2, nx - 2
-            base = i * (my * mx)
-            pos = (sub - 1) * mx + (lane - 1)
-            keys0 = jnp.where(m, pos, jnp.int32(BIG))
+            @pl.when(count > 0)
+            def _(mc=mc, count=count, r0=r0, r1=r1):
+                keys0 = jnp.where(mc, pos[r0:r1], jnp.int32(BIG))
 
-            def body(state):
-                k, keys = state
-                nxt_pos = jnp.min(keys)
-                w = cnt_ref[0]
+                def body(state):
+                    k, keys = state
+                    nxt_pos = jnp.min(keys)
+                    w = cnt_ref[0]
 
-                @pl.when(w < cap)
-                def _():
-                    idx_ref[w] = base + nxt_pos
-                    cnt_ref[0] = w + 1
+                    @pl.when(w < cap)
+                    def _():
+                        idx_ref[w] = base + nxt_pos
+                        cnt_ref[0] = w + 1
 
-                keys = jnp.where(keys == nxt_pos, jnp.int32(BIG), keys)
-                return k + 1, keys
+                    keys = jnp.where(keys == nxt_pos, jnp.int32(BIG), keys)
+                    return k + 1, keys
 
-            jax.lax.while_loop(
-                lambda s: s[0] < count, body, (jnp.int32(0), keys0)
-            )
-            cnt_ref[1] = cnt_ref[1] + count
+                jax.lax.while_loop(
+                    lambda s: s[0] < count, body, (jnp.int32(0), keys0)
+                )
+                cnt_ref[1] = cnt_ref[1] + count
 
 
 @functools.partial(jax.jit, static_argnames=("peak_thresh", "cap", "interpret"))

@@ -245,9 +245,56 @@ def _octave_group_stage(dogs_per_o, gsss_per_o, *, plan, octaves):
 _GROUP_VOXELS = 8 * 1024 * 1024
 
 # extract_pair fuses both volumes into each module (halving dispatches);
-# above this per-volume voxel count the doubled live memory risks OOM
-# (512^3 pyramids are ~6 GB each) and the pair falls back to sequential.
+# above this per-volume voxel count two FULL pyramid sets (~6 GB each at
+# 512^3) cannot be live together, so the pair switches to the STREAMING
+# octave path: one module per octave group builds that octave's GSS/DoG
+# for both volumes from the previous octave's seed level, runs the level
+# stages, and returns only the keypoint sets plus the next seed — each
+# octave's pyramid buffers die with their module (peak ~9 GB at 512^3
+# instead of ~13.5).
 _PAIR_VOXELS = 32 * 1024 * 1024
+
+
+def _octave_levels(seed, plan, o):
+    """One octave's GSS + DoG arrays from its seed (the raw volume at o=0,
+    the previous octave's gss[num_kp_levels] otherwise). Same math and op
+    order as build_pyramids (Build_Gaussian_Scale_Space,
+    Src/cSIFT3D.cc:268-360), restaged for streaming."""
+    cfg = plan.cfg
+    gl = cfg.gss_levels
+    gss = []
+    for i in range(gl):
+        if i == 0:
+            if o == 0:
+                gss.append(G.gaussian_blur(G.data_scale(seed), plan.base_sig))
+            else:
+                gss.append(G.downsample(seed))
+        else:
+            gss.append(G.gaussian_blur(gss[i - 1], plan.sigmas[i]))
+    dog = [G.dog(gss[i - 1], gss[i]) for i in range(1, gl)]
+    return gss, dog
+
+
+def _stream_group_fn(plan, group):
+    """Module body for one octave group of the streaming pair path:
+    (seed_a, seed_b) -> (sets_a, sets_b, next_seed_a, next_seed_b)."""
+    cfg = plan.cfg
+    dl = cfg.dog_levels
+
+    def fn(seed_a, seed_b):
+        outs, seeds = [], []
+        for seed in (seed_a, seed_b):
+            sets_v = []
+            for o in group:
+                gss, dog = _octave_levels(seed, plan, o)
+                sets_v.append(_octave_stage(
+                    tuple(dog), tuple(gss[1: dl - 1]), plan=plan, o=o))
+                seed = gss[cfg.num_kp_levels]
+            outs.append(merge_sets(sets_v))
+            seeds.append(seed)
+        return outs[0], outs[1], seeds[0], seeds[1]
+
+    return fn
 
 
 class SIFT3D:
@@ -322,7 +369,24 @@ class SIFT3D:
                  tuple(args_for(o)[1] for o in group)),
             ))
 
-        if pair and int(np.prod(shape)) <= _PAIR_VOXELS:
+        if pair and int(np.prod(shape)) > _PAIR_VOXELS:
+            # streaming pair path: one module per octave group, seeded by
+            # the previous group's gss[num_kp_levels]
+            jobs = []
+            groups = self._octave_groups(plan)
+            seed_shape = shape
+            for k, group in enumerate(groups):
+                key = ("pstream", shape, group)
+                if key not in self._octave_jits:
+                    donate = (0, 1) if k > 0 else ()
+                    self._octave_jits[key] = jax.jit(
+                        _stream_group_fn(plan, group), donate_argnums=donate
+                    )
+                seed_s = jax.ShapeDtypeStruct(seed_shape, jnp.float32)
+                jobs.append((self._octave_jits[key], (seed_s, seed_s)))
+                seed_shape = plan.gss_meta(group[-1], cfg.num_kp_levels).shape
+
+        elif pair:
             # the pair modules contain two copies of the same graph; XLA
             # compiles them afresh, so warm them instead of the singles
             key = ("pair", shape)
@@ -461,10 +525,10 @@ class SIFT3D:
         ref = jnp.asarray(ref, dtype=jnp.float32)
         tar = jnp.asarray(tar, dtype=jnp.float32)
         shape = tuple(int(s) for s in ref.shape)
-        if tuple(int(s) for s in tar.shape) != shape or (
-            int(np.prod(shape)) > _PAIR_VOXELS
-        ):
+        if tuple(int(s) for s in tar.shape) != shape:
             return self.extract(ref), self.extract(tar)
+        if int(np.prod(shape)) > _PAIR_VOXELS:
+            return self._extract_pair_streaming(ref, tar, shape)
         plan = self.plan(shape)
 
         key = ("pair", shape)
@@ -509,6 +573,37 @@ class SIFT3D:
             db = tuple(args_for(dog_b, gss_b, o)[0] for o in group)
             gb = tuple(args_for(dog_b, gss_b, o)[1] for o in group)
             sa, sb = self._octave_jits[key](da, ga, db, gb)
+            sets_a.append(sa)
+            sets_b.append(sb)
+
+        if "pair_fin" not in self._octave_jits:
+            self._octave_jits["pair_fin"] = jax.jit(
+                lambda a, b: (sort_valid_first(merge_sets(a)),
+                              sort_valid_first(merge_sets(b)))
+            )
+        return self._octave_jits["pair_fin"](sets_a, sets_b)
+
+    def _extract_pair_streaming(self, ref, tar, shape):
+        """Pair extraction for volumes too large to double-buffer full
+        pyramids: per octave group, ONE module builds the group's GSS/DoG
+        for both volumes from the previous group's seed level, runs the
+        level stages, and emits only keypoint sets + the next seed. Pyramid
+        buffers never outlive their module (512^3 peak ~9 GB vs ~13.5 for
+        the fused-pyramid path), and dispatch count matches the fused pair
+        path instead of doubling with sequential extracts."""
+        plan = self.plan(shape)
+        sets_a, sets_b = [], []
+        seed_a, seed_b = ref, tar
+        for k, group in enumerate(self._octave_groups(plan)):
+            key = ("pstream", shape, group)
+            if key not in self._octave_jits:
+                # seeds of later groups are module outputs this method owns
+                # — donate them; the first group's seeds are caller arrays.
+                donate = (0, 1) if k > 0 else ()
+                self._octave_jits[key] = jax.jit(
+                    _stream_group_fn(plan, group), donate_argnums=donate
+                )
+            sa, sb, seed_a, seed_b = self._octave_jits[key](seed_a, seed_b)
             sets_a.append(sa)
             sets_b.append(sb)
 
@@ -583,9 +678,7 @@ def compact_valid(kps: KeypointSet, warn_overflow: bool = True) -> KeypointSet:
             RuntimeWarning,
             stacklevel=2,
         )
-    n = max(int(n), 1)
-    bucket = 1 << (n - 1).bit_length()
-    return _compact_slice(kps, min(bucket, kps.valid.shape[0]))
+    return _compact_slice(kps, _next_bucket(n, kps.valid.shape[0]))
 
 
 @jax.jit
@@ -623,16 +716,21 @@ def compact_valid_pair(ref: KeypointSet, tar: KeypointSet, warn_overflow=True):
             )
 
     def bucket(n, kps):
-        n = max(int(n), 1)
-        b = 1 << (n - 1).bit_length()
-        return _compact_slice(kps, min(b, kps.valid.shape[0]))
+        return _compact_slice(kps, _next_bucket(n, kps.valid.shape[0]))
 
     return bucket(nr, ref), bucket(nt_, tar)
 
 
 def _next_bucket(n, cap: int) -> int:
+    """Compaction bucket: next power of two up to 4096, then next multiple
+    of 4096 — pow2 granularity past 32k wastes up to 2x matcher FLOPs on
+    padding lanes (35417 keypoints -> a 65536 bucket cost 0.55 s of the
+    512^3 pair in the two top-2 matmuls; the 36864 bucket costs ~0.18 s).
+    Matching is masked by `valid`, so bucket size never changes results."""
     n = max(int(n), 1)
-    return min(1 << (n - 1).bit_length(), cap)
+    if n <= 4096:
+        return min(1 << (n - 1).bit_length(), cap)
+    return min(-(-n // 4096) * 4096, cap)
 
 
 # Last-seen compaction buckets per capacity signature. The exact bucket
