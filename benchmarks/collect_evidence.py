@@ -2,10 +2,12 @@
 committed JSON.
 
 Run after benchmarks/run_all_tpu.sh (and/or individual benchmarks/ab_knobs
-runs). Writes EVIDENCE_r3.json at the repo root summarising: 256^3 / 512^3
+runs). Writes EVIDENCE_r4.json at the repo root summarising: 256^3 / 512^3
 bench, 50k matcher scale + threshold sweep, match-precision timing, every
-parity-gated kernel A/B, the stage profile, the roofline, and the
-reference-binary thread-scaling measurement (from BENCH_CPU_CACHE.json).
+parity-gated kernel A/B, the stage profile, the roofline, the ground-truth
+parity artifacts (64/128/256/512 + the residue/descriptor-tail
+diagnoses), and the reference-binary thread-scaling measurement
+(from BENCH_CPU_CACHE.json).
 """
 
 from __future__ import annotations
@@ -34,6 +36,9 @@ LOGS = {
     "ab_row_skip": "/tmp/ab_rowskip.log",
     "ab_downsample_matmul": "/tmp/ab_downsample.log",
     "ab_blur_barrier": "/tmp/ab_barrier.log",
+    # round-4 A/Bs
+    "ab_r4_cumulative": "/tmp/ab_r4_cumulative.log",
+    "ab_face_anti": "/tmp/ab_faceanti.log",
 }
 
 
@@ -67,13 +72,17 @@ def main():
         if val is not None:
             ev[key] = val
     for name, key in (("ROOFLINE.json", "roofline"),
-                      ("SCALING_r03.json", "scaling"),
+                      ("SCALING_r04.json", "scaling"),
                       ("PARITY_VS_REFERENCE.json", "parity_vs_reference_64"),
                       ("PARITY_VS_REFERENCE_128.json",
                        "parity_vs_reference_128"),
                       ("PARITY_VS_REFERENCE_256.json",
                        "parity_vs_reference_256"),
-                      ("BENCH_512_r03.json", "bench_512_artifact")):
+                      ("PARITY_VS_REFERENCE_512.json",
+                       "parity_vs_reference_512"),
+                      ("RESIDUE_256.json", "residue_diagnosis_256"),
+                      ("DESC_TAIL_256.json", "desc_tail_diagnosis_256"),
+                      ("BENCH_512_r04.json", "bench_512_artifact")):
         p = REPO / name
         if p.exists():
             ev[key] = json.loads(p.read_text())
@@ -82,7 +91,7 @@ def main():
         c = json.loads(cache.read_text())
         if "reference_256" in c:
             ev["reference_binary_256"] = c["reference_256"]
-    out = REPO / "EVIDENCE_r3.json"
+    out = REPO / "EVIDENCE_r4.json"
     out.write_text(json.dumps(ev, indent=1))
     print(f"wrote {out} with sections: {sorted(ev)}")
 

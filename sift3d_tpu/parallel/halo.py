@@ -102,16 +102,24 @@ def exchange_halo(block: jnp.ndarray, halo: int, axis_name: str = BLOCK_AXIS,
     return lo, hi
 
 
-def _zpass_matrices(nz: int, n_shards: int, kernel: np.ndarray, halo: int):
-    """Per-shard slices of the global z smoothing matrix.
+def _zpass_matrices(nz: int, n_shards: int, kernel: np.ndarray, halo: int,
+                    nz_pad: int | None = None):
+    """Per-shard slices of the global axis smoothing matrix.
 
     Shard s computes rows [s*L, (s+1)*L) of W against the column window
     [s*L - halo, (s+1)*L + halo) (clipped columns are provably zero because
     every tap reaches at most hw+1 <= halo source rows away).
     Returns (n_shards, L, L + 2*halo) float32.
+
+    `nz_pad` (>= nz, divisible by n_shards) supports PADDED sharding of a
+    non-divisible axis: the matrix is built from the TRUE extent nz, rows
+    >= nz are zero (padded output rows stay exactly 0, like the
+    single-chip zero halo), and columns >= nz never contribute, so padded
+    input rows are never read.
     """
+    nz_pad = nz_pad or nz
     W = smoothing_matrix(nz, kernel)
-    L = nz // n_shards
+    L = nz_pad // n_shards
     out = np.zeros((n_shards, L, L + 2 * halo), np.float32)
     for s in range(n_shards):
         r0 = s * L
@@ -119,12 +127,14 @@ def _zpass_matrices(nz: int, n_shards: int, kernel: np.ndarray, halo: int):
         for j in range(L + 2 * halo):
             c = c0 + j
             if 0 <= c < nz:
-                out[s, :, j] = W[r0 : r0 + L, c]
+                rows = min(L, max(nz - r0, 0))
+                out[s, :rows, j] = W[r0 : r0 + rows, c]
     # correctness: no mass outside the window
     for s in range(n_shards):
         r0 = s * L
-        lost = np.abs(W[r0 : r0 + L, : max(r0 - halo, 0)]).sum() + np.abs(
-            W[r0 : r0 + L, r0 + L + halo :]
+        rows = min(L, max(nz - r0, 0))
+        lost = np.abs(W[r0 : r0 + rows, : max(r0 - halo, 0)]).sum() + np.abs(
+            W[r0 : r0 + rows, r0 + L + halo :]
         ).sum()
         if lost > 0:
             raise ValueError(
@@ -134,8 +144,8 @@ def _zpass_matrices(nz: int, n_shards: int, kernel: np.ndarray, halo: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _zpass_matrices_cached(nz, n_shards, sigma, halo):
-    return _zpass_matrices(nz, n_shards, gaussian_kernel(sigma), halo)
+def _zpass_matrices_cached(nz, n_shards, sigma, halo, nz_pad=None):
+    return _zpass_matrices(nz, n_shards, gaussian_kernel(sigma), halo, nz_pad)
 
 
 def _axis_halo(n: int, n_shards: int, hw: int) -> int:
@@ -149,7 +159,8 @@ def _axis_halo(n: int, n_shards: int, hw: int) -> int:
     return max(hw, 1)
 
 
-def sharded_gaussian_blur(vol: jnp.ndarray, sigma: float, mesh: Mesh):
+def sharded_gaussian_blur(vol: jnp.ndarray, sigma: float, mesh: Mesh,
+                          true_zy: tuple[int, int] | None = None):
     """Separable blur on a block-sharded volume (z blocks, or z x y blocks
     on a 2-D mesh).
 
@@ -157,27 +168,35 @@ def sharded_gaussian_blur(vol: jnp.ndarray, sigma: float, mesh: Mesh):
     a 2-D mesh) exchanges hw+1-deep halos with ppermute and applies
     per-shard slices of the global smoothing matrix, reproducing the
     reference boundary math bit-for-bit with the single-device path.
+
+    `true_zy`: the TRUE (nz, ny) when `vol` is zero-padded up to mesh
+    divisibility (parallel/sharded_pallas.py) — the smoothing matrices are
+    built from the true extents, so padded rows stay exactly zero and
+    never contribute.
     """
     from .mesh import Y_AXIS, mesh_zy
 
     nz, ny, nx = vol.shape
+    nzt, nyt = true_zy or (nz, ny)
     n_z, n_y = mesh_zy(mesh)
-    assert nz % n_z == 0, "z dim must divide the mesh for the halo path"
-    assert ny % n_y == 0, "y dim must divide the mesh for the halo path"
+    assert nz % n_z == 0, "padded z dim must divide the mesh"
+    assert ny % n_y == 0, "padded y dim must divide the mesh"
 
     kernel = gaussian_kernel(sigma)
     hw = len(kernel) // 2
     halo_z = _axis_halo(nz, n_z, hw)
     halo_y = _axis_halo(ny, n_y, hw)
 
-    Wz_shards = jnp.asarray(_zpass_matrices_cached(nz, n_z, float(sigma), halo_z))
+    Wz_shards = jnp.asarray(_zpass_matrices_cached(
+        nzt, n_z, float(sigma), halo_z, nz if nz != nzt else None))
     Wx = jnp.asarray(smoothing_matrix(nx, kernel))
     hi_prec = jax.lax.Precision.HIGHEST
     two_d = n_y > 1
     if two_d:
-        Wy_shards = jnp.asarray(
-            _zpass_matrices_cached(ny, n_y, float(sigma), halo_y))
+        Wy_shards = jnp.asarray(_zpass_matrices_cached(
+            nyt, n_y, float(sigma), halo_y, ny if ny != nyt else None))
     else:
+        assert ny == nyt
         Wy_full = jnp.asarray(smoothing_matrix(ny, kernel))
 
     def f(block, Wz_local, Wy_local):

@@ -29,6 +29,13 @@ persistent-cache staging of the single-chip path. All collectives inside one
 module are totally ordered with value-preserving optimization_barriers
 (see parallel/halo.py).
 
+Non-divisible extents shard via zero-padding up to the mesh: padded rows
+hold exact zeros (the blur's per-shard smoothing matrices are built from
+the true extents, so no mass ever enters them — the analogue of the
+single-chip zero halo), detection and window masks test true global
+coordinates, and window halos deepen by the pad where the npad-W start
+clamp reaches below the last block (_level_halo).
+
 Keypoint semantics: each device keeps the keypoints whose extremum voxel
 lies in its own block (per-shard capacity cap_for_octave(o)/n, floor 128).
 The merged lane order — (octave, level), then shard, then scan — equals the
@@ -83,14 +90,20 @@ def _level_halo(meta, n_shards: int, axis: int = 0) -> int:
     """Halo depth along `axis` so every owned keypoint's clamped window
     gather stays inside the extended slab: H >= max(rm, Wz - L - 1) with
     rm = (Wz-1)//2 (start >= c+1-rm and the npad-W clamp on the last
-    shard), +1 margin."""
-    L = meta.shape[axis] // n_shards
+    shard), +1 margin. L is the PADDED local extent (ceil) — non-divisible
+    levels are zero-padded up to the mesh, which pushes the last shard's
+    block `pad` rows past the true domain, so the npad-W window clamp
+    (against the TRUE extent) reaches `pad` rows deeper below the block:
+    H >= W - L - 1 + pad for those keypoints."""
+    true = meta.shape[axis]
+    L = -(-true // n_shards)
+    pad = L * n_shards - true
     Wz = max(
         _window_extent(meta, ORI_SIG_FCTR, ORI_RAD_FCTR, axis),
         _window_extent(meta, DESC_SIG_FCTR, DESC_RAD_FCTR, axis),
     )
     rm = (Wz - 1) // 2
-    return max(rm, Wz - L - 1) + 1
+    return max(rm, Wz - L - 1 + pad) + 1
 
 
 class ShardedPallasSIFT3D:
@@ -114,11 +127,21 @@ class ShardedPallasSIFT3D:
     # -- static helpers -----------------------------------------------------
 
     def can_shard(self, shape) -> bool:
-        ok_z = (shape[0] % self.n_z == 0
-                and shape[0] // self.n_z >= self.min_local)
-        ok_y = (shape[1] % self.n_y == 0
-                and shape[1] // self.n_y >= self.min_local)
-        return ok_z and ok_y
+        """Shard when every partitioned axis keeps >= min_local TRUE rows
+        per shard on average; non-divisible extents are zero-padded up to
+        the mesh (see _pad_dims) rather than forcing replication."""
+        return (shape[0] >= self.min_local * self.n_z
+                and shape[1] >= self.min_local * self.n_y)
+
+    def _pad_dims(self, shape) -> tuple[int, int]:
+        """(nz_pad, ny_pad): the sharded storage extents for a level of
+        TRUE dims `shape` — rounded up to mesh divisibility. Padded rows
+        hold exact zeros (the blur's per-shard matrices are built from the
+        true extents), matching the single-chip zero halo, and every
+        detection/window stage masks on true global coordinates."""
+        rz = -(-shape[0] // self.n_z) * self.n_z
+        ry = -(-shape[1] // self.n_y) * self.n_y
+        return rz, ry
 
     def _block_spec(self):
         if self.two_d:
@@ -132,36 +155,63 @@ class ShardedPallasSIFT3D:
         return P(BLOCK_AXIS)
 
     def _sharding(self, for_shape):
-        if self.can_shard(for_shape):
+        """Input/device_put sharding: block-sharded only when the TRUE
+        dims divide the mesh (device_put cannot shard uneven extents);
+        non-divisible shardable volumes enter replicated and the pyramids
+        module pads + scatters them."""
+        if (self.can_shard(for_shape) and for_shape[0] % self.n_z == 0
+                and for_shape[1] % self.n_y == 0):
             return NamedSharding(self.mesh, self._block_spec())
         return NamedSharding(self.mesh, P())
 
     # -- phase 1: pyramids --------------------------------------------------
 
     def _pyramids(self, vol, plan: PyramidPlan):
+        """Sharded octaves are stored PADDED to mesh divisibility (zeros
+        beyond the true extents — exact: the blur's per-shard matrices are
+        built from the true dims, so padded rows never receive or
+        contribute mass); replicated octaves keep their true dims and run
+        the identical single-chip math."""
         cfg, mesh = self.cfg, self.mesh
         gl = cfg.gss_levels
 
-        def constrain(x):
-            return jax.lax.with_sharding_constraint(x, self._sharding(x.shape))
+        def constrain_rep(x):
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P()))
 
-        def blur(x, sigma):
-            if self.can_shard(x.shape):
-                return sharded_gaussian_blur(x, sigma, mesh)
-            with G.xla_blur():
-                return constrain(G.gaussian_blur(x, sigma))
+        def constrain_blk(x):
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, self._block_spec()))
 
         def pyramids(v):
             v = G.data_scale(v.astype(jnp.float32))
             gss = []
             for o in range(plan.num_octaves):
+                t_shape = plan.gss_meta(o, 0).shape
+                sh = self.can_shard(t_shape)
+                pz, py = (self._pad_dims(t_shape) if sh
+                          else (t_shape[0], t_shape[1]))
+
+                def fix(x, pz=pz, py=py, sh=sh):
+                    x = jnp.pad(x, ((0, pz - x.shape[0]),
+                                    (0, py - x.shape[1]), (0, 0)))
+                    return constrain_blk(x) if sh else constrain_rep(x)
+
+                def blur(x, sigma, t_shape=t_shape, sh=sh):
+                    if sh:
+                        return sharded_gaussian_blur(
+                            x, sigma, mesh, true_zy=t_shape[:2])
+                    with G.xla_blur():
+                        return constrain_rep(G.gaussian_blur(x, sigma))
+
                 for i in range(gl):
                     if o == 0 and i == 0:
-                        gss.append(blur(constrain(v), plan.base_sig))
+                        gss.append(blur(fix(v), plan.base_sig))
                     elif i == 0:
-                        gss.append(constrain(
-                            G.downsample(gss[(o - 1) * gl + cfg.num_kp_levels])
-                        ))
+                        parent = gss[(o - 1) * gl + cfg.num_kp_levels]
+                        pt = plan.gss_meta(o - 1, 0).shape
+                        gss.append(fix(G.downsample(
+                            parent[:pt[0], :pt[1], :])))
                     else:
                         gss.append(blur(gss[o * gl + i - 1], plan.sigmas[i]))
             dog = [
@@ -479,9 +529,7 @@ def make_sharded_pallas_step(
     Same result contract as parallel/sharded.py:make_sharded_step; the
     callable is NOT one jit (phases are separate cached dispatches)."""
     sift = ShardedPallasSIFT3D(mesh, cfg, min_local)
-    from .mesh import block_sharding
-
-    vol_sharding = block_sharding(mesh)
+    vol_sharding = sift._sharding(shape)
 
     @jax.jit
     def match(ref, tar):

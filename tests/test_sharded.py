@@ -258,3 +258,41 @@ def test_sharded_gspmd_step_2d_mesh():
 
     assert pairs(out["ref_coords"], out["tar_coords"], out["match_valid"]) \
         == pairs(rc, tc, valid)
+
+
+@needs_8
+@pytest.mark.parametrize("shape,zy", [
+    ((68, 40, 40), (8, 1)),    # z 68 -> padded 72 (L=9, last shard 5 true)
+    ((68, 42, 40), (2, 4)),    # y 42 -> padded 44 on the 2-D mesh
+])
+def test_sharded_pallas_nondivisible_pad_equal(shape, zy):
+    """Non-divisible extents shard via zero-padding up to the mesh
+    (VERDICT r3 #4: the nz % n == 0 constraint lifted). Padded rows carry
+    exact zeros (per-shard smoothing matrices are built from the TRUE
+    extents) and window halos deepen by the pad, so keypoint sets equal
+    single-chip; descriptors are graded at the documented face-edge bar
+    (the windowed per-shard contraction reorders float sums ~1e-7, which
+    can flip a face-edge voxel)."""
+    from sift3d_tpu.parallel.sharded_pallas import ShardedPallasSIFT3D
+    from sift3d_tpu.pipeline import compact_valid
+
+    m = _mesh_by_shape(zy)
+    cfg = SiftConfig(max_kp_per_level=1024)
+    vol = fixtures.smooth_random_volume(shape, seed=11, smooth=2)
+    sp = ShardedPallasSIFT3D(m, cfg)
+    sh = sp.extract(jax.device_put(jnp.asarray(vol), sp._sharding(shape)))
+    ref = SIFT3D(cfg).extract(vol)
+
+    sh_c, ref_c = compact_valid(sh), compact_valid(ref)
+    n = int(ref_c.num_valid)
+    assert int(sh_c.num_valid) == n
+    sxyz = np.asarray(sh_c.xyz)[:n]
+    rxyz = np.asarray(ref_c.xyz)[:n]
+    so, ro = np.lexsort(sxyz.T), np.lexsort(rxyz.T)
+    np.testing.assert_array_equal(sxyz[so], rxyz[ro])
+    dl2 = np.linalg.norm(
+        np.asarray(sh_c.desc)[:n][so] - np.asarray(ref_c.desc)[:n][ro],
+        axis=-1,
+    )
+    assert float(dl2.max()) < 5e-3
+    assert int((dl2 > 1e-3).sum()) <= max(1, n // 100)
