@@ -129,6 +129,12 @@ def read_nii(path: str | Path) -> np.ndarray:
     vol = data.reshape((nz, ny, nx))  # x fastest on disk -> C-order (z, y, x)
     out = vol.astype(np.float32)
     slope, inter = hdr["scl_slope"], hdr["scl_inter"]
+    # Apply scl scaling unless (slope, inter) is a no-op (0/ignored or
+    # identity). The asymmetry is deliberate: slope=1/inter!=0 IS applied
+    # while slope=0/inter!=0 is ignored — the NIfTI spec says slope=0
+    # means "no scaling stored", and laynii's copy_nifti_as_float32
+    # (3party/layNii/dep/laynii_lib.cpp:226) ignores that combination the
+    # same way. Do not "fix" this to test inter alone.
     if slope not in (0.0, 1.0) or (slope != 0.0 and inter != 0.0):
         out = out * np.float32(slope) + np.float32(inter)
     return out

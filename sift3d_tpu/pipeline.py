@@ -743,6 +743,14 @@ def _next_bucket(n, cap: int) -> int:
 # guess falls back to the exact path. Volumes of similar keypoint density
 # share buckets, so steady-state pipelines never pay the sync.
 _BUCKET_GUESS: dict[tuple[int, int], tuple[int, int]] = {}
+_BUCKET_GUESS_MAX = 32  # bounded: evict oldest capacity signatures
+
+
+def _remember_bucket(key, val):
+    _BUCKET_GUESS.pop(key, None)
+    _BUCKET_GUESS[key] = val  # (re)insert most-recent-last
+    while len(_BUCKET_GUESS) > _BUCKET_GUESS_MAX:
+        _BUCKET_GUESS.pop(next(iter(_BUCKET_GUESS)))
 
 
 def _match(ref: KeypointSet, tar: KeypointSet, threshold, mode):
@@ -769,14 +777,14 @@ def _match(ref: KeypointSet, tar: KeypointSet, threshold, mode):
                     "SiftConfig.max_kp_per_level",
                     RuntimeWarning, stacklevel=3,
                 )
-        _BUCKET_GUESS[key] = (_next_bucket(nr, key[0]),
-                              _next_bucket(nt_, key[1]))
+        _remember_bucket(key, (_next_bucket(nr, key[0]),
+                               _next_bucket(nt_, key[1])))
         if int(nr) <= br and int(nt_) <= bt:
             return out
         # guess undersized (keypoints would be dropped): redo exactly
 
     ref_c, tar_c = compact_valid_pair(ref, tar, warn_overflow=guess is None)
-    _BUCKET_GUESS[key] = (ref_c.valid.shape[0], tar_c.valid.shape[0])
+    _remember_bucket(key, (ref_c.valid.shape[0], tar_c.valid.shape[0]))
     res = match_descriptors(
         ref_c.desc, tar_c.desc, ref_c.valid, tar_c.valid, threshold, mode=mode
     )
