@@ -1,4 +1,4 @@
-"""Produce SCALING_r03.json: sharded-path scaling + overhead evidence.
+"""Produce SCALING_r04.json: sharded-path scaling + overhead evidence.
 
 Three sections:
   cpu_virtual_8dev : scaling.py on the 8-virtual-device CPU mesh at --size
@@ -49,7 +49,7 @@ def main():
     ap.add_argument("--size", type=int, default=128)
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--skip-cpu-mesh", action="store_true")
-    ap.add_argument("--out", default=str(REPO / "SCALING_r03.json"))
+    ap.add_argument("--out", default=str(REPO / "SCALING_r04.json"))
     args = ap.parse_args()
 
     report = {"size": args.size}

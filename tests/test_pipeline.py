@@ -194,3 +194,29 @@ def test_non_cubic_volume_matches_oracle():
     want = {_key(kp) for kp in oracle.keypoints}
     common = len(got & want)
     assert common >= 0.99 * max(len(want), 1), (len(got), len(want), common)
+
+
+def test_streaming_pair_path_equals_extract():
+    """The large-volume streaming pair path (one module per octave group,
+    seeded by the previous group's gss[num_kp_levels]) is bit-identical to
+    extract(): same math restaged (pipeline._extract_pair_streaming)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sift3d_tpu.pipeline import compact_valid
+
+    shape = (48, 48, 48)
+    ref = fixtures.smooth_random_volume(shape, seed=3, smooth=2)
+    tar = fixtures.smooth_random_volume(shape, seed=4, smooth=2)
+    sift = SIFT3D(SiftConfig(max_kp_per_level=512))
+    ka, kb = sift._extract_pair_streaming(
+        jnp.asarray(ref), jnp.asarray(tar), shape)
+    for stream, vol in ((ka, ref), (kb, tar)):
+        plain = sift.extract(vol)
+        sc, pc = compact_valid(stream), compact_valid(plain)
+        n = int(pc.num_valid)
+        assert int(sc.num_valid) == n
+        np.testing.assert_array_equal(
+            np.asarray(sc.xyz)[:n], np.asarray(pc.xyz)[:n])
+        np.testing.assert_array_equal(
+            np.asarray(sc.desc)[:n], np.asarray(pc.desc)[:n])
