@@ -23,6 +23,7 @@ LOGS = {
     "match_50k": "/tmp/ev_match50k.log",
     "match_precision": "/tmp/ev_matchprec.log",
     "stage_profile": "/tmp/ev_stages.log",
+    "throughput_256": "/tmp/ev_throughput.log",
     # parity-gated A/Bs (benchmarks/ab_knobs.py): kp/match sets must equal
     # the recorded baseline for the run to exit 0.
     "ab_accum_3pass": "/tmp/ab_3pass.log",
