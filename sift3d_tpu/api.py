@@ -47,12 +47,26 @@ def match_files(
     threshold: float = 0.85,
     mode: str = "enhanced",
     cfg: SiftConfig | None = None,
+    retries: int = 3,
 ):
     """Example.cpp in one call: returns (ref_coords, tar_coords) as dense
-    (M, 3) original-image coordinate arrays of the surviving pairs."""
+    (M, 3) original-image coordinate arrays of the surviving pairs.
+
+    `retries`: transient device/tunnel failures (remote-TPU UNAVAILABLE /
+    connection drops) are retried with exponential backoff — the compute
+    is pure, so a re-dispatch is exact (utils/retry.py). Permanent errors
+    (OOM, invalid shapes) raise immediately. Set retries=1 to disable."""
+    from .utils.retry import retry_transient
+
     sift = SIFT3D(cfg)
-    ref_kps = sift.extract(load_volume(ref_path))
-    tar_kps = sift.extract(load_volume(tar_path))
-    rc, tc, valid = _MATCHERS[mode](ref_kps, tar_kps, threshold)
-    v = np.asarray(valid)
-    return np.asarray(rc)[v], np.asarray(tc)[v]
+    ref_vol = load_volume(ref_path)
+    tar_vol = load_volume(tar_path)
+
+    @retry_transient(attempts=max(retries, 1))
+    def run():
+        ref_kps, tar_kps = sift.extract_pair(ref_vol, tar_vol)
+        rc, tc, valid = _MATCHERS[mode](ref_kps, tar_kps, threshold)
+        v = np.asarray(valid)
+        return np.asarray(rc)[v], np.asarray(tc)[v]
+
+    return run()

@@ -99,3 +99,37 @@ def test_descriptor_voxel_trace_reconstructs_descriptor(tmp_path):
             )
             assert n_lines == trace["loop_point"].shape[0]
     assert checked >= 1
+
+
+def test_retry_transient_classification_and_backoff():
+    from sift3d_tpu.utils.retry import is_transient, retry_transient
+
+    assert is_transient(RuntimeError("UNAVAILABLE: socket closed"))
+    assert is_transient(RuntimeError("DEADLINE_EXCEEDED waiting for tunnel"))
+    assert not is_transient(RuntimeError("RESOURCE_EXHAUSTED: OOM 16GB"))
+    assert not is_transient(RuntimeError("INVALID_ARGUMENT: bad shape"))
+    # UNAVAILABLE+RESOURCE_EXHAUSTED together: permanent wins (no retry loop)
+    assert not is_transient(RuntimeError("UNAVAILABLE RESOURCE_EXHAUSTED"))
+
+    calls = []
+
+    @retry_transient(attempts=3, base_delay_s=0.0)
+    def flaky():
+        calls.append(1)
+        if len(calls) < 3:
+            raise RuntimeError("UNAVAILABLE: connection reset")
+        return "ok"
+
+    assert flaky() == "ok"
+    assert len(calls) == 3
+
+    @retry_transient(attempts=3, base_delay_s=0.0)
+    def permanent():
+        calls.append(2)
+        raise RuntimeError("INVALID_ARGUMENT: nope")
+
+    import pytest
+    n0 = len(calls)
+    with pytest.raises(RuntimeError, match="INVALID_ARGUMENT"):
+        permanent()
+    assert len(calls) == n0 + 1  # no retries on permanent errors
