@@ -45,8 +45,17 @@ def _window_stats(
     y_off=0,
 ):
     """Structure tensor (cap, 6) + mean gradient (cap, 3), chunked over
-    keypoints so only kp_block windows are live at once."""
-    kp_block = cfg.kp_block
+    keypoints so only kp_block windows are live at once.
+
+    SIFT3D_ORI_BLOCK_MULT widens the orientation block only (A/B knob,
+    default 1 = cfg.kp_block). Measured on TPU v5e at 256^3 (r4): MULT=4
+    0.617 s vs 0.592 — the while_loop processes ceil(count/block)*block
+    lanes, and the last block's padded lanes do full window-gather+kernel
+    work (up to block-1 wasted windows per level x 30 levels), costing
+    more than the saved per-iteration overhead. Rejected; stays 1."""
+    import os as _os
+
+    kp_block = cfg.kp_block * int(_os.environ.get("SIFT3D_ORI_BLOCK_MULT", "1"))
     nz, ny, nx = meta.shape
     nzp = nz + 2  # global padded extents (gss_pad may be a local slab)
     nyp = ny + 2
