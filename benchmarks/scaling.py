@@ -80,6 +80,13 @@ def main():
         tv = jax.device_put(tar, sharding)
         out = step(rv, tv)
         jax.block_until_ready(out)  # compile
+        # throwaway timed-shape run: the FIRST post-warmup step through the
+        # tunnel completes anomalously fast (elided; measured 4-8 ms vs
+        # the real ~78 ms at 128^3 mesh(1)) — burn one run of the same
+        # form as the measured ones before timing
+        rv = jax.device_put(ref + np.float32(0.3), sharding)
+        tv = jax.device_put(tar + np.float32(0.3), sharding)
+        jax.block_until_ready(step(rv, tv))
         times = []
         for r in range(args.runs):
             # content-varying buffers each run: the axon dev tunnel elides
@@ -87,7 +94,14 @@ def main():
             # IDENTICAL content can still be recognised — perturb by an
             # amplitude far below any detection threshold so every run
             # really executes (same trick as benchmarks/match_precision.py).
-            eps = np.float32((r + 1) * 1e-7)
+            # LARGE, well-separated per-run amplitudes: the staged
+            # sharded path is elided by the tunnel for near-identical
+            # content even when f32 bits differ (measured r4: 3.6 ms
+            # "steps" vs the real ~78 ms at 128^3 mesh(1); the single-chip
+            # jit path is NOT elided). Match counts vary by +-1 across
+            # runs as a result (timing-only harness — correctness is
+            # tests/test_sharded.py's job).
+            eps = np.float32(0.39 + 0.09 * r + np.random.random() * 0.01)
             rv = jax.device_put(ref + eps, sharding)
             tv = jax.device_put(tar + eps, sharding)
             jax.block_until_ready((rv, tv))
@@ -95,6 +109,11 @@ def main():
             out = step(rv, tv)
             jax.block_until_ready(out)
             times.append(time.time() - t0)
+            # force a real device->host fetch between runs: on the tunnel,
+            # back-to-back block_until_ready-only runs read anomalously
+            # fast (4 ms vs the real 78 ms at 128^3), while interleaved
+            # fetches reproduce the physically-consistent number
+            _ = int(np.asarray(out["match_valid"]).sum())
         dt = float(np.median(times))
         rate = 2.0 / dt  # two volumes per step
         if base_rate is None:
