@@ -3,6 +3,7 @@
 import math
 
 import numpy as np
+import pytest
 
 from sift3d_tpu import config as C
 from sift3d_tpu.geometry import MESH_CONST, TRI_IDX, TRI_VERTS, build_mesh
@@ -266,3 +267,27 @@ def test_extract_pair_equals_sequential():
     c = fixtures.smooth_random_volume((32, 32, 40), seed=13, smooth=2)
     kc1, kc2 = sift.extract_pair(a, c)
     assert kc2.valid.shape == sift.extract(c).valid.shape
+
+
+@pytest.mark.parametrize("shape", [(8, 8, 8), (8, 64, 8), (12, 40, 20),
+                                   (9, 9, 9), (128, 16, 16)])
+def test_edge_shapes_match_oracle(shape):
+    """Minimum-size, odd and extreme-anisotropic volumes: keypoint sets
+    equal the oracle (octave planning, window clamps and the exact-span
+    window_size all stress-tested at the smallest dims)."""
+    import numpy as np
+
+    from sift3d_tpu import SIFT3D, SiftConfig
+    from sift3d_tpu.oracle import cpu_sift, fixtures
+
+    vol = fixtures.smooth_random_volume(shape, seed=5, smooth=1)
+    kps = SIFT3D(SiftConfig(max_kp_per_level=256)).extract(vol)
+    xyz = np.asarray(kps.xyz)
+    v = np.asarray(kps.valid)
+    o = np.asarray(kps.octave)
+    l = np.asarray(kps.level)
+    got = {(int(o[i]), int(l[i]), int(xyz[i, 2]), int(xyz[i, 1]),
+            int(xyz[i, 0])) for i in range(len(v)) if v[i]}
+    orc = cpu_sift.run_sift(np.asarray(vol), SiftConfig(max_kp_per_level=256))
+    want = {(k.octave, k.level, k.z, k.y, k.x) for k in orc.keypoints}
+    assert got == want
