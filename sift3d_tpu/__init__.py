@@ -9,7 +9,7 @@ registration layers that the single-process reference does not have.
 
 __version__ = "0.1.0"
 
-from .api import extract_file, load_volume, match_files
+from .api import extract_file, load_volume, match_files, process_batch
 from .config import SiftConfig
 from .pipeline import (
     SIFT3D,
@@ -24,6 +24,7 @@ __all__ = [
     "extract_file",
     "load_volume",
     "match_files",
+    "process_batch",
     "SIFT3D",
     "KeypointSet",
     "enhanced_match",

@@ -70,3 +70,57 @@ def match_files(
         return np.asarray(rc)[v], np.asarray(tc)[v]
 
     return run()
+
+
+def process_batch(
+    pairs,
+    threshold: float = 0.85,
+    mode: str = "enhanced",
+    cfg: SiftConfig | None = None,
+    retries: int = 3,
+    io_workers: int = 2,
+    lookahead: int = 2,
+):
+    """Serve a stream of volume pairs: yields (ref_coords, tar_coords) per
+    (ref_path, tar_path) item of `pairs`, in order.
+
+    Host-side NIfTI/matrixIO decoding runs in a thread pool `lookahead`
+    pairs ahead of the device, so IO overlaps device compute (the pipeline
+    dispatches asynchronously; extraction of pair k runs while pair k+1
+    decodes). One SIFT3D instance serves the whole batch, so same-shape
+    volumes reuse every compiled module. Transient device failures retry
+    per pair (see match_files)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .utils.retry import retry_transient
+
+    sift = SIFT3D(cfg)
+    pairs = list(pairs)
+
+    def load_pair(item):
+        ref_path, tar_path = item
+        return load_volume(ref_path), load_volume(tar_path)
+
+    with ThreadPoolExecutor(max_workers=max(io_workers, 1)) as pool:
+        futures = []
+        nxt = 0
+
+        def top_up():
+            nonlocal nxt
+            while nxt < len(pairs) and len(futures) < max(lookahead, 1) + 1:
+                futures.append(pool.submit(load_pair, pairs[nxt]))
+                nxt += 1
+
+        top_up()
+        for _ in range(len(pairs)):
+            ref_vol, tar_vol = futures.pop(0).result()
+            top_up()
+
+            @retry_transient(attempts=max(retries, 1))
+            def run(ref_vol=ref_vol, tar_vol=tar_vol):
+                ref_kps, tar_kps = sift.extract_pair(ref_vol, tar_vol)
+                rc, tc, valid = _MATCHERS[mode](ref_kps, tar_kps, threshold)
+                v = np.asarray(valid)
+                return np.asarray(rc)[v], np.asarray(tc)[v]
+
+            yield run()

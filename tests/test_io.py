@@ -176,3 +176,26 @@ def test_match_files_api(tmp_path):
     nifti.write_nii(tmp_path / "tar.nii.gz", tar)
     rc, tc = match_files(tmp_path / "ref.nii.gz", tmp_path / "tar.nii.gz")
     assert rc.shape == tc.shape and rc.shape[1] == 3
+
+
+def test_process_batch_equals_match_files(tmp_path):
+    """Batch serving API: results equal per-pair match_files, in order."""
+    import numpy as np
+
+    from sift3d_tpu import api
+    from sift3d_tpu.io.nifti import write_nii
+    from sift3d_tpu.oracle import fixtures
+
+    paths = []
+    for s in range(3, 6):
+        p = str(tmp_path / f"v{s}.nii")
+        write_nii(p, fixtures.smooth_random_volume((32, 32, 32), seed=s,
+                                                   smooth=2))
+        paths.append(p)
+    pairs = [(paths[0], paths[1]), (paths[1], paths[2])]
+    batch = list(api.process_batch(pairs))
+    singles = [api.match_files(r, t) for r, t in pairs]
+    assert len(batch) == len(pairs)
+    for b, s in zip(batch, singles):
+        np.testing.assert_array_equal(b[0], s[0])
+        np.testing.assert_array_equal(b[1], s[1])
