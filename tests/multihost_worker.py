@@ -79,6 +79,30 @@ def main():
         ),
     }
 
+    # -- 2-D (z x y) global mesh across the process boundary --------------
+    # (4, 2): each host's 4 devices fill two whole z-rows, so z-halos
+    # cross hosts (DCN) while y-halos stay intra-host. Match pairs must
+    # equal the 1-D global-mesh step's.
+    mesh2 = multihost.global_block_mesh2d(2)
+    start2, size2 = multihost.host_local_slice(shape, mesh2)
+    assert size2 == shape[0] // nproc
+    step2, vol_sharding2 = make_sharded_step(mesh2, shape, cfg)
+
+    def dist2(vol_np):
+        return jax.make_array_from_callback(
+            shape, vol_sharding2, lambda idx: vol_np[idx]
+        )
+
+    out2 = step2(dist2(ref_np), dist2(tar_np))
+    jax.block_until_ready(out2)
+    valid2 = np.asarray(out2["match_valid"].addressable_shards[0].data)
+    rc2 = np.asarray(out2["ref_coords"].addressable_shards[0].data)
+    tc2 = np.asarray(out2["tar_coords"].addressable_shards[0].data)
+    result["mesh2d_matches"] = int(valid2.sum())
+    result["mesh2d_pairs_equal_1d"] = sorted(
+        (rc2[i].tolist(), tc2[i].tolist()) for i in np.nonzero(valid2)[0]
+    ) == result["pairs"]
+
     # -- distributed pose-graph refinement across the process boundary ----
     # (BASELINE config 5: the Gauss-Newton normal equations are assembled
     # per edge shard and psum-reduced over the 2-process global mesh.)

@@ -96,6 +96,9 @@ def test_two_process_sharded_step_matches_single_process():
     )
     assert r["matches"] == int(v.sum())
     assert r["pairs"] == expected
+    # the 2-D (4,2) global mesh (z crossing hosts, y intra-host) agrees
+    assert r["mesh2d_matches"] == int(v.sum())
+    assert r["mesh2d_pairs_equal_1d"] is True
     # distributed pose-graph refinement (psum across the process boundary)
     # recovers the synthetic ground-truth poses
     assert r["posegraph_err"] < 1e-3, r["posegraph_err"]
