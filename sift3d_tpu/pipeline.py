@@ -251,7 +251,9 @@ _GROUP_VOXELS = 8 * 1024 * 1024
 # for both volumes from the previous octave's seed level, runs the level
 # stages, and returns only the keypoint sets plus the next seed — each
 # octave's pyramid buffers die with their module (peak ~9 GB at 512^3
-# instead of ~13.5).
+# instead of ~13.5). Below the threshold the fused path stays the default:
+# streaming measured 0.613 s vs 0.591 at 256^3 (r4 A/B — the fused pair's
+# larger modules hide more dispatch latency when memory permits).
 _PAIR_VOXELS = 32 * 1024 * 1024
 
 
