@@ -64,19 +64,32 @@ def _round8(v: int) -> int:
     return -(-v // 8) * 8
 
 
+def _lanes(n: int) -> int:
+    """Physical lane extent: the minor dim pads to a multiple of 128 in
+    VMEM (192 lanes occupy 256 — sizing budgets on the LOGICAL extent
+    under-counts by up to 2x and blew the 16MB scoped-vmem stack at
+    (384, 256, 192), r4)."""
+    return -(-n // 128) * 128
+
+
 def z_lane_chunk(nz: int, nx: int) -> int | None:
     """Lane chunk nx_c for the z-pass blocks: must divide nx and be
     Mosaic-legal (nx_c == nx, i.e. the full lane dim, or nx_c % 128 == 0 —
     a partial lane block of e.g. 96 is rejected at lowering, advisor r3).
     Picks the largest legal chunk whose (nz, 8, nx_c) in+out blocks fit
-    the ~2MB-per-block budget; tolerates up to 6MB on the smallest legal
-    chunk; returns None (caller falls back to the einsum blur) otherwise."""
+    the ~2MB-per-block budget (PADDED lane extent); tolerates up to 4MB on
+    the smallest legal chunk (double-buffered in+out then stay under the
+    16MB scoped-vmem stack); returns None (caller falls back to the
+    einsum blur) otherwise."""
     legal = [nx] + [c for c in range(128, nx, 128) if nx % c == 0]
-    budget = [c for c in legal if nz * 8 * c * 4 <= (2 << 20)]
+    budget = [c for c in legal if nz * 8 * _lanes(c) * 4 <= (2 << 20)]
     if budget:
         return max(budget)
     smallest = min(legal)
-    if nz * 8 * smallest * 4 <= (6 << 20):
+    # hard cap: in+out blocks double-buffer (4x the chunk) plus ~25% tap
+    # temps on the 16MB stack — a 3.1MB chunk measured 17.5MB (r4), so
+    # only chunks <= 2.5MB are safe
+    if nz * 8 * _lanes(smallest) * 4 <= (5 << 19):
         return smallest
     return None
 
@@ -193,8 +206,10 @@ def gaussian_blur_pallas2(vol: jnp.ndarray, sigma: float,
     zt, zb, z_bs = _boundary_rows(nz, k)
 
     rows_total = nz * ny
-    # z-slab rows per grid step: in + out + padded scratch in VMEM
-    tz = max(1, min(nz, (3 << 20) // max(ny * nx * 4, 1)))
+    # z-slab rows per grid step: in + out double-buffered + padded scratch
+    # all live on the 16MB scoped-vmem stack, so size the block at ~2MB
+    # using the PADDED lane extent (a 192-lane row occupies 256 lanes)
+    tz = max(1, min(nz, (2 << 20) // max(ny * _lanes(nx) * 4, 1)))
     while nz % tz:
         tz -= 1
     rows = tz * ny
