@@ -81,6 +81,10 @@ def main():
                        "parity_vs_reference_256"),
                       ("PARITY_VS_REFERENCE_512.json",
                        "parity_vs_reference_512"),
+                      ("PARITY_VS_REFERENCE_ANISO.json",
+                       "parity_vs_reference_aniso"),
+                      ("PARITY_VS_REFERENCE_ANISO_LARGE.json",
+                       "parity_vs_reference_aniso_large"),
                       ("RESIDUE_256.json", "residue_diagnosis_256"),
                       ("DESC_TAIL_256.json", "desc_tail_diagnosis_256"),
                       ("BENCH_512_r04.json", "bench_512_artifact")):
