@@ -5,12 +5,13 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 - value: steady-state wall-clock seconds for extracting keypoints from both
   volumes of a 256^3 pair and enhanced-matching them on one TPU chip
   (compile excluded; median of N runs).
-- vs_baseline: speedup vs a multithreaded CPU implementation of the same
-  pipeline. The reference C++ build is MSVC/Windows-only (SURVEY.md §6);
-  the CPU number comes from native/cpu_baseline, an independent OpenMP
-  C++ implementation of identical semantics, run with all host cores
-  (falls back to the single-thread NumPy oracle if not built). Cached in
-  BENCH_CPU_CACHE.json.
+- vs_baseline: speedup vs the BAR's denominator — the ACTUAL reference
+  binary (unmodified sources built by tools/reference_build), measured at
+  1/2/4 threads and Amdahl-modeled to 32 threads (the >=20x BASELINE bar;
+  info.vs_baseline_denominator records which denominator was used). The
+  independent OpenMP C++ baseline (native/cpu_baseline) and NumPy-oracle
+  ratios are kept in info (vs_cpu_oracle, vs_32t_projection,
+  vs_ref_binary_{4t,perfect_32t}). Cached in BENCH_CPU_CACHE.json.
 
 Usage: python bench.py [--size 256] [--runs 5] [--skip-cpu]
 """
@@ -321,10 +322,13 @@ def main():
     cfg = SiftConfig(max_kp_per_level=args.kp_cap)
     value, info = tpu_time(args.size, args.runs, cfg)
 
+    # The headline vs_baseline carries the BAR's denominator: the actual
+    # reference binary, Amdahl-modeled to 32 threads (>=20x bar,
+    # BASELINE.md). Friendlier/stricter denominators stay in info.
     vs_baseline = None
     if not args.skip_cpu:
         cpu_s = cpu_oracle_time(args.size)
-        vs_baseline = round(cpu_s / value, 2)
+        info["vs_cpu_oracle"] = round(cpu_s / value, 2)
         info["cpu_oracle_s"] = round(cpu_s, 2)
         # honest 32-thread comparison (BASELINE's stated bar): perfect
         # linear scaling of the measured 1-thread CPU time — the most
@@ -354,6 +358,14 @@ def main():
             info["vs_ref_binary_4t"] = round(r4 / value, 2)
             info["vs_ref_binary_modeled_32t"] = round(rm / value, 2)
             info["vs_ref_binary_perfect_32t"] = round(rp / value, 2)
+            vs_baseline = info["vs_ref_binary_modeled_32t"]
+        if vs_baseline is None:
+            # no reference-binary cache for this size: fall back to the
+            # independent CPU implementation ratio, clearly labeled
+            info["vs_baseline_denominator"] = "cpu_oracle"
+            vs_baseline = info["vs_cpu_oracle"]
+        else:
+            info["vs_baseline_denominator"] = "ref_binary_modeled_32t"
 
     print(
         json.dumps(

@@ -17,9 +17,16 @@ Semantics replicated:
 - bijectFilter keeps a forward pair unless its target is masked and the
   target's best reverse match disagrees.
 
-Deviation (documented): the reference flags rejected matches by negating the
-index, which cannot flag target index 0 (Src/cMatcher.cc:93); we use explicit
-validity booleans, so index-0 rejections actually reject.
+Index-0 quirk (REPLICATED BY DEFAULT — ``index0_quirk=True`` everywhere):
+the reference flags rejected matches by negating the index, which cannot
+flag target index 0 (``gIdx_[i] *= -1``, Src/cMatcher.cc:93, and the
+bijectFilter's ``refIdx_[i] *= -1``, Src/cMatcher.cc:141). A best-match to
+tar[0] therefore survives the ratio test and the reverse-disagreement test
+unconditionally, and this is observable in the reference's own output
+(two d1/d2 = 0.98/0.94 failures kept at 64^3). We carry explicit validity
+booleans internally, then re-admit index-0 matches to reproduce the quirk;
+``index0_quirk=False`` opts into strict semantics. CLAUDE.md/DESIGN.md:
+quirk-on is the parity configuration — do not change the default.
 """
 
 from __future__ import annotations

@@ -14,10 +14,17 @@ replicated as vectorised masks.
 
 from __future__ import annotations
 
+import os as _os
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+# A/B knob, read ONCE at import (the surrounding jit modules are cached by
+# shape, so a mid-process toggle would silently time an identical program —
+# advisor r4). Measured on TPU v5e at 256^3: MULT=4 0.617 s vs 0.592 —
+# rejected; stays 1. Set in the environment before importing sift3d_tpu.
+ORI_BLOCK_MULT = int(_os.environ.get("SIFT3D_ORI_BLOCK_MULT", "1"))
 
 from ..config import DBL_EPSILON, ORI_GRAD_THRESH, ORI_RAD_FCTR, ORI_SIG_FCTR, SiftConfig
 from ..pyramid import LevelMeta
@@ -48,14 +55,13 @@ def _window_stats(
     keypoints so only kp_block windows are live at once.
 
     SIFT3D_ORI_BLOCK_MULT widens the orientation block only (A/B knob,
-    default 1 = cfg.kp_block). Measured on TPU v5e at 256^3 (r4): MULT=4
-    0.617 s vs 0.592 — the while_loop processes ceil(count/block)*block
-    lanes, and the last block's padded lanes do full window-gather+kernel
-    work (up to block-1 wasted windows per level x 30 levels), costing
-    more than the saved per-iteration overhead. Rejected; stays 1."""
-    import os as _os
-
-    kp_block = cfg.kp_block * int(_os.environ.get("SIFT3D_ORI_BLOCK_MULT", "1"))
+    module-level ORI_BLOCK_MULT, read at import). Measured on TPU v5e at
+    256^3 (r4): MULT=4 0.617 s vs 0.592 — the while_loop processes
+    ceil(count/block)*block lanes, and the last block's padded lanes do
+    full window-gather+kernel work (up to block-1 wasted windows per level
+    x 30 levels), costing more than the saved per-iteration overhead.
+    Rejected; stays 1."""
+    kp_block = cfg.kp_block * ORI_BLOCK_MULT
     nz, ny, nx = meta.shape
     nzp = nz + 2  # global padded extents (gss_pad may be a local slab)
     nyp = ny + 2

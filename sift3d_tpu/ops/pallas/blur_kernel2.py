@@ -77,9 +77,10 @@ def z_lane_chunk(nz: int, nx: int) -> int | None:
     Mosaic-legal (nx_c == nx, i.e. the full lane dim, or nx_c % 128 == 0 —
     a partial lane block of e.g. 96 is rejected at lowering, advisor r3).
     Picks the largest legal chunk whose (nz, 8, nx_c) in+out blocks fit
-    the ~2MB-per-block budget (PADDED lane extent); tolerates up to 4MB on
-    the smallest legal chunk (double-buffered in+out then stay under the
-    16MB scoped-vmem stack); returns None (caller falls back to the
+    the ~2MB-per-block budget (PADDED lane extent); tolerates up to 2.5MB
+    on the smallest legal chunk (the in+out blocks double-buffer to 4x the
+    chunk, plus ~25% tap temps on the 16MB scoped-vmem stack — a 3.1MB
+    chunk measured 17.5MB, r4); returns None (caller falls back to the
     einsum blur) otherwise."""
     legal = [nx] + [c for c in range(128, nx, 128) if nx % c == 0]
     budget = [c for c in legal if nz * 8 * _lanes(c) * 4 <= (2 << 20)]
