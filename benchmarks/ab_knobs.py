@@ -28,7 +28,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 KNOBS = ("SIFT3D_ACCUM_PRECISION", "SIFT3D_ACCUM_GROUP", "SIFT3D_DESC_TILE",
          "SIFT3D_FACE_MXU", "SIFT3D_BLUR_PRECISION", "SIFT3D_MATCH_PRECISION",
-         "USE_PALLAS_BLUR", "SIFT3D_KP_BLOCK", "SIFT3D_FACE_SELECT")
+         "USE_PALLAS_BLUR", "SIFT3D_KP_BLOCK", "SIFT3D_FACE_SELECT",
+         "SIFT3D_DESC_SPHERE", "SIFT3D_SPHERE_NOSCRATCH")
 
 
 def main():

@@ -2,7 +2,7 @@
 committed JSON.
 
 Run after benchmarks/run_all_tpu.sh (and/or individual benchmarks/ab_knobs
-runs). Writes EVIDENCE_r4.json at the repo root summarising: 256^3 / 512^3
+runs). Writes EVIDENCE_r5.json at the repo root summarising: 256^3 / 512^3
 bench, 50k matcher scale + threshold sweep, match-precision timing, every
 parity-gated kernel A/B, the stage profile, the roofline, the ground-truth
 parity artifacts (64/128/256/512 + the residue/descriptor-tail
@@ -40,7 +40,29 @@ LOGS = {
     # round-4 A/Bs
     "ab_r4_cumulative": "/tmp/ab_r4_cumulative.log",
     "ab_face_anti": "/tmp/ab_faceanti.log",
+    # round-5 A/Bs
+    "ab_face_sym": "/tmp/ab_facesym.log",
+    "ab_desc_sparse": "/tmp/ab_descsparse.log",
 }
+
+
+def all_json_lines(path: str):
+    """Every JSON line of a log, keyed by its 'mode' field (falling back to
+    the line index). match_scale.py emits one line per matcher mode —
+    keeping only the last dropped the biject rows (VERDICT r4 missing #3)."""
+    p = Path(path)
+    if not p.exists():
+        return None
+    out = {}
+    for i, line in enumerate(p.read_text().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                row = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            out[str(row.get("mode", i))] = row
+    return out or None
 
 
 def last_json_line(path: str):
@@ -69,11 +91,12 @@ def last_json_line(path: str):
 def main():
     ev = {}
     for key, path in LOGS.items():
-        val = last_json_line(path)
+        val = (all_json_lines(path) if key == "match_50k"
+               else last_json_line(path))
         if val is not None:
             ev[key] = val
     for name, key in (("ROOFLINE.json", "roofline"),
-                      ("SCALING_r04.json", "scaling"),
+                      ("SCALING_r05.json", "scaling"),
                       ("PARITY_VS_REFERENCE.json", "parity_vs_reference_64"),
                       ("PARITY_VS_REFERENCE_128.json",
                        "parity_vs_reference_128"),
@@ -87,7 +110,8 @@ def main():
                        "parity_vs_reference_aniso_large"),
                       ("RESIDUE_256.json", "residue_diagnosis_256"),
                       ("DESC_TAIL_256.json", "desc_tail_diagnosis_256"),
-                      ("BENCH_512_r04.json", "bench_512_artifact")):
+                      ("BENCH_512_r05.json", "bench_512_artifact"),
+                      ("DMA_PROBE_r05.json", "dma_probe_reprobe")):
         p = REPO / name
         if p.exists():
             ev[key] = json.loads(p.read_text())
@@ -96,7 +120,7 @@ def main():
         c = json.loads(cache.read_text())
         if "reference_256" in c:
             ev["reference_binary_256"] = c["reference_256"]
-    out = REPO / "EVIDENCE_r4.json"
+    out = REPO / "EVIDENCE_r5.json"
     out.write_text(json.dumps(ev, indent=1))
     print(f"wrote {out} with sections: {sorted(ev)}")
 

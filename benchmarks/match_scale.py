@@ -108,32 +108,38 @@ def main():
             "tflops": round(gflop / dt / 1e3, 2),
         }), flush=True)
 
-    # threshold sweep reusing one top-2 pass per direction
+    # threshold sweeps reusing one top-2 pass per direction, for BOTH
+    # first-class reference modes (bijectMatch Src/cMatcher.cc:219-224,
+    # enhancedMatch :226-228 — BASELINE config 3 names both at >50k;
+    # VERDICT r4 missing #3 asked for durable biject rows).
     thresholds = jnp.asarray(np.linspace(0.7, 0.9, 9), jnp.float32)
-    sweep = jax.jit(
-        lambda r, t: M.threshold_sweep(r, t, rv, tv, thresholds, mode=M.ENHANCED)
-    )
-    masks = jax.block_until_ready(sweep(ref_d, tar_d))
-    r2 = jax.device_put(ref); t2 = jax.device_put(tar)
-    jax.block_until_ready((r2, t2))
-    t0 = time.time()
-    masks = jax.block_until_ready(sweep(r2, t2))
-    dt = time.time() - t0
-    counts = np.asarray(masks).sum(axis=1).tolist()
-    # sweep-vs-per-threshold equality at full scale (VERDICT r1 item 9):
-    # the sweep reuses one top-2 pass per direction; verify it reproduces
-    # the independent per-threshold matcher exactly for a mid threshold.
-    chk = M.match_descriptors(ref_d, tar_d, rv, tv, 0.8, mode=M.ENHANCED)
-    k8 = int(np.argmin(np.abs(np.linspace(0.7, 0.9, 9) - 0.8)))
-    sweep_eq = bool(
-        np.array_equal(np.asarray(masks)[k8], np.asarray(chk.valid))
-    )
-    print(json.dumps({
-        "mode": "enhanced_sweep_0.7-0.9", "n": args.n, "m": args.m,
-        "seconds": round(dt, 4),
-        "matches_per_threshold": counts,
-        "sweep_equals_per_threshold_at_0.8": sweep_eq,
-    }), flush=True)
+    for mode, name in [(M.BIJECT, "biject"), (M.ENHANCED, "enhanced")]:
+        sweep = jax.jit(
+            lambda r, t, _m=mode: M.threshold_sweep(
+                r, t, rv, tv, thresholds, mode=_m)
+        )
+        masks = jax.block_until_ready(sweep(ref_d, tar_d))
+        r2 = jax.device_put(ref); t2 = jax.device_put(tar)
+        jax.block_until_ready((r2, t2))
+        t0 = time.time()
+        masks = jax.block_until_ready(sweep(r2, t2))
+        dt = time.time() - t0
+        counts = np.asarray(masks).sum(axis=1).tolist()
+        # sweep-vs-per-threshold equality at full scale (VERDICT r1 item
+        # 9): the sweep reuses one top-2 pass per direction; verify it
+        # reproduces the independent per-threshold matcher exactly for a
+        # mid threshold.
+        chk = M.match_descriptors(ref_d, tar_d, rv, tv, 0.8, mode=mode)
+        k8 = int(np.argmin(np.abs(np.linspace(0.7, 0.9, 9) - 0.8)))
+        sweep_eq = bool(
+            np.array_equal(np.asarray(masks)[k8], np.asarray(chk.valid))
+        )
+        print(json.dumps({
+            "mode": f"{name}_sweep_0.7-0.9", "n": args.n, "m": args.m,
+            "seconds": round(dt, 4),
+            "matches_per_threshold": counts,
+            "sweep_equals_per_threshold_at_0.8": sweep_eq,
+        }), flush=True)
 
 
 if __name__ == "__main__":

@@ -198,3 +198,167 @@ def argmax_face_constants() -> dict[str, np.ndarray]:
 
 
 ARGMAX_CONST = argmax_face_constants()
+
+
+def sym_face_constants() -> dict | None:
+    """Sign-symmetry decomposition of the 20-face argmax tables.
+
+    The icosahedron's 20 outward normals are exactly (bitwise, in the f32
+    tables) the images of 4 base directions under per-axis sign flips:
+    one corner group of 8 faces (n ~ (c,c,c)) and three cyclic groups of 4
+    (one zero component each). Consequently the argmax over 20 dots
+    collapses to an argmax over 4 group maxima computed on |g|:
+
+        max_{f in group m} n_f . g  =  sum_k |n_rep_k| * |g_k|
+
+    bitwise equal to the winning face's ndot (products commute with sign
+    flips exactly; adding the zero-component +-0 term is a no-op), and the
+    winning face is recovered from (group, sign bits of g). The per-face
+    barycentric constant vectors decompose the same way: each face's
+    (c_by_n, c_bz_n) is a sign-pattern times one of THREE per-group base
+    vectors {cb, cq, cr} (cr = the third bary numerator, role-permuted by
+    the reference's winding-fix vertex swaps, build_mesh note) — verified
+    bitwise below for all 20 faces; returns None (callers fall back to the
+    20-way fold) if any face fails to decompose.
+
+    Tables returned:
+      reps (4,) int32, coef (4, 3) f32 = |n_rep| (zeros on unaligned),
+      aligned (4, 3) bool, cands (4, 3, 3) f32 = [cb, cq, cr] per group,
+      entry (4, 8) int32 = per (group, signbits) packed
+        vid0 | vid1<<4 | vid2<<8 | role_by<<12 | role_bz<<14,
+      signbits = (gx<0)<<2 | (gy<0)<<1 | (gz<0); unaligned bits ignored
+      (entries duplicated over them). All faces verified det>0 (the
+      winding fix makes every vid_pack sign bit 1), so k >= 0 iff best > 0.
+    """
+    import itertools
+
+    N = ARGMAX_CONST["normals"]
+    CB = ARGMAX_CONST["c_by_n"]
+    CQ = ARGMAX_CONST["c_bz_n"]
+    VPK = ARGMAX_CONST["vid_pack"]
+    if not all((int(v) >> 12) & 1 for v in VPK):
+        return None
+
+    order: list[bytes] = []
+    groups: dict[bytes, list[int]] = {}
+    for i in range(ICOS_NFACES):
+        k = np.abs(N[i]).tobytes()
+        if k not in groups:
+            order.append(k)
+        groups.setdefault(k, []).append(i)
+    if len(order) != 4:
+        return None
+
+    reps = np.zeros(4, np.int32)
+    coef = np.zeros((4, 3), np.float32)
+    aligned = np.zeros((4, 3), bool)
+    cands = np.zeros((4, 3, 3), np.float32)
+    entry = np.full((4, 8), -1, np.int32)
+
+    for gi, key in enumerate(order):
+        faces = groups[key]
+        rep = faces[0]
+        reps[gi] = rep
+        coef[gi] = np.abs(N[rep])
+        aligned[gi] = np.abs(N[rep]) != 0.0
+        zidx = np.where(~aligned[gi])[0]
+        cand = [CB[rep].copy(), CQ[rep].copy(), None]
+
+        def sign_opts(f):
+            sp0 = np.where(
+                N[f] * N[rep] > 0, 1.0, np.where(N[f] * N[rep] < 0, -1.0, 1.0)
+            ).astype(np.float32)
+            for signs in itertools.product([1.0, -1.0], repeat=len(zidx)):
+                s = sp0.copy()
+                for j, zi in enumerate(zidx):
+                    s[zi] = signs[j]
+                yield s
+
+        resolved: dict[int, tuple] = {}
+        for _ in range(4):  # fixpoint: cr derivable after a partial match
+            for f in faces:
+                if f in resolved:
+                    continue
+                for s in sign_opts(f):
+                    rb = rq = None
+                    for r, c in enumerate(cand):
+                        if c is None:
+                            continue
+                        if np.array_equal(CB[f], (s * c).astype(np.float32)):
+                            rb = r
+                        if np.array_equal(CQ[f], (s * c).astype(np.float32)):
+                            rq = r
+                    if rb is not None and rq is not None:
+                        resolved[f] = (s, rb, rq)
+                        break
+                    if rb is not None and rq is None and cand[2] is None:
+                        cand[2] = (s * CQ[f]).astype(np.float32)
+                        resolved[f] = (s, rb, 2)
+                        break
+                    if rq is not None and rb is None and cand[2] is None:
+                        cand[2] = (s * CB[f]).astype(np.float32)
+                        resolved[f] = (s, 2, rq)
+                        break
+        if len(resolved) != len(faces):
+            return None
+        if cand[2] is None:
+            cand[2] = np.zeros(3, np.float32)  # never role-selected
+        cands[gi] = np.stack(cand)
+
+        # unaligned components must never need a sign flip (h uses raw g)
+        for f, (s, rb, rq) in resolved.items():
+            if any(s[zi] != 1.0 for zi in zidx):
+                return None
+
+        # The runtime key is the sign of g itself, and the winning face is
+        # the one whose OWN normal signs match sign(g) on aligned
+        # components — so the entry key must be sigma_f = (N[f] < 0), not
+        # the rep-relative pattern s = sigma_f * sigma_rep. Fold sigma_rep
+        # into the candidate vectors (exact sign flips) so the runtime dot
+        # h-vector is plain |g| on aligned components:
+        #   cb_f . g = sum_k s_k cand_k g_k = sum_k (sigma_rep,k cand_k)
+        #              * (sigma_f,k g_k) = cand'_k * |g_k|  (winner).
+        srep = np.where(N[rep] < 0, np.float32(-1.0), np.float32(1.0))
+        srep = np.where(aligned[gi], srep, np.float32(1.0))
+        cands[gi] = (cands[gi] * srep[None, :]).astype(np.float32)
+
+        # entry table over all 8 signbit keys; unaligned bits ignored
+        for sb in range(8):
+            bits = np.array([(sb >> 2) & 1, (sb >> 1) & 1, sb & 1])
+            match = None
+            for f, (s, rb, rq) in resolved.items():
+                fb = (N[f] < 0).astype(int)
+                if np.all(fb[aligned[gi]] == bits[aligned[gi]]):
+                    match = (f, rb, rq)
+                    break
+            if match is None:
+                return None
+            f, rb, rq = match
+            v = int(VPK[f])
+            entry[gi, sb] = (v & 0xFFF) | (rb << 12) | (rq << 14)
+
+    # full bitwise verification: reconstruct every face's tables from its
+    # own-normal-sign key (sigma_f on aligned comps, +1 on unaligned)
+    for gi in range(4):
+        for f in groups[order[gi]]:
+            sigf = np.where(N[f] < 0, np.float32(-1.0), np.float32(1.0))
+            sigf = np.where(aligned[gi], sigf, np.float32(1.0))
+            bits = (sigf < 0).astype(int)
+            sb = (bits[0] << 2) | (bits[1] << 1) | bits[2]
+            e = int(entry[gi, sb])
+            rb, rq = (e >> 12) & 3, (e >> 14) & 3
+            if not (
+                (e & 0xFFF) == (int(VPK[f]) & 0xFFF)
+                and np.array_equal(CB[f], (sigf * cands[gi, rb]).astype(np.float32))
+                and np.array_equal(CQ[f], (sigf * cands[gi, rq]).astype(np.float32))
+                and np.array_equal(np.abs(N[f]), coef[gi])
+            ):
+                return None
+
+    return {
+        "reps": reps, "coef": coef, "aligned": aligned,
+        "cands": cands, "entry": entry,
+    }
+
+
+SYM_CONST = sym_face_constants()

@@ -145,8 +145,10 @@ def _desc_one_block_pallas(
     block per keypoint) and computes the central differences itself, so no
     (B, C) gradient streams ever hit HBM."""
     from .pallas.descriptor_kernel import (
+        SPHERE_SKIP,
         TILE,
         descriptor_bins_pallas,
+        tile_entry_table,
         tile_z_ranges,
         window_offset_maps,
     )
@@ -166,7 +168,10 @@ def _desc_one_block_pallas(
     win = jnp.pad(wins.reshape(B, Cw), ((0, 0), (0, Cp - Cw)))
 
     maps_np = window_offset_maps(wshape, Cp)
-    ztab = jnp.asarray(tile_z_ranges(maps_np[0]))
+    if SPHERE_SKIP:
+        ztab = jnp.asarray(tile_entry_table(maps_np[0], maps_np[1]))
+    else:
+        ztab = jnp.asarray(tile_z_ranges(maps_np[0]))
     jzm, jym, jxm = (jnp.asarray(m) for m in maps_np)
 
     xs_lo, xs_hi = W.box_bounds(bx, r_vox, nx)

@@ -104,6 +104,23 @@ assert SUB % ACCUM_GROUP == 0, (
     f"SIFT3D_ACCUM_GROUP ({ACCUM_GROUP}) must divide SUB ({SUB})")
 assert ACCUM_PRECISION in ("highest", "3pass", "1pass"), ACCUM_PRECISION
 
+
+def _check_face_select(v: str) -> str:
+    assert v in ("ndot", "shared", "anti", "sym"), v
+    if v == "sym":
+        from ...geometry import SYM_CONST
+
+        assert SYM_CONST is not None, (
+            "FACE_SELECT=sym requires the bitwise sign-symmetry "
+            "decomposition to hold (geometry.sym_face_constants)")
+    return v
+
+# Sphere-sparse kernel (v7): per-8-row-subchunk scalar liveness tests
+# against the keypoint sphere + per-keypoint gradient scratch (see
+# _kernel_sparse). Exact-conservative: results bit-identical to the dense
+# kernel. A/B knob, read at import.
+SPHERE_SKIP = _os.environ.get("SIFT3D_DESC_SPHERE", "0") == "1"
+
 # Skip the Kronecker build + accumulation dot for sublane rows whose val
 # vector is entirely zero (exact; ~25% of rows fail the sphere test alone).
 # Measured on TPU v5e (256^3 pair, EVIDENCE_r3 ab_row_skip): 1.00 s vs
@@ -160,7 +177,21 @@ FACE_MXU = _os.environ.get("SIFT3D_FACE_MXU", "0") == "1"
 # second member's dot is one exact negation instead of a 3-mul/2-add dot.
 # Fold order stays 0..19, so selection is identical except on exact-tie
 # inputs (measure-zero; covered by the parity-gated A/B).
-FACE_SELECT = _os.environ.get("SIFT3D_FACE_SELECT", "ndot")
+# "sym" collapses the whole 20-face fold via the icosahedron's sign
+# symmetry (geometry.sym_face_constants, verified bitwise at import): the
+# argmax becomes 4 group maxima on |g| + a (group, signbits) table decode,
+# and by/bz come from 3 candidate dots role-selected per face — every
+# surviving value bitwise equal to the ndot fold away from exact-tie
+# inputs (g components that are exactly +-0, or cross-group float ties;
+# within-group zero-component ties resolve to the same earlier face as the
+# 0..19 fold for 11 of 12 twin pairs). ~130 VPU ops/voxel replace ~250.
+# ADOPTED AS DEFAULT (r5): parity-gated A/B on TPU v5e at 256^3
+# (EVIDENCE_r5 ab_face_sym): 0.611 -> 0.587 s, identical keypoint AND
+# match sets, desc tail 4/7639 over 1e-3 (worst 1.9e-3, within the
+# amended face-edge bar). The modest wall gain vs the ~2x op-count cut
+# says the kernel is no longer purely op-throughput-bound.
+FACE_SELECT = _check_face_select(
+    _os.environ.get("SIFT3D_FACE_SELECT", "sym"))
 
 SENTINEL = 1 << 20  # offset-map value for positions with no contribution
 
@@ -269,6 +300,41 @@ def _kernel(
         ay = jy_ref[0] + sy
         ax = jx_ref[0] + sx
 
+        R = [rot_ref[b, k] for k in range(9)]  # R^T row-major
+        acc = _chain_acc(
+            jnp.zeros((16, 48), jnp.float32),
+            gx0, gy0, gz0, az, ay, ax, R,
+            (cx, cy, cz, xlo, xhi, ylo, yhi, zlo, zhi),
+            nrm_ref, u=u, r2=r2, sigma2=sigma2,
+            desc_hw=desc_hw, desc_bin_fctr=desc_bin_fctr,
+        )
+        out_ref[0] = out_ref[0] + acc
+
+
+def _chain_acc(
+    acc,                 # (16, 48) f32 carry-in accumulator
+    gx0, gy0, gz0,       # (ROWS, LANE) f32 central-difference gradients
+    az, ay, ax,          # (ROWS, LANE) int32 absolute voxel coords
+    R,                   # 9 scalar f32: R^T row-major
+    bounds,              # 9 scalar int32: cx cy cz xlo xhi ylo yhi zlo zhi
+    nrm_ref,             # (20, 3) f32 normals (FACE_MXU only)
+    *,
+    u, r2, sigma2, desc_hw: float, desc_bin_fctr: float,
+):
+    """Per-voxel descriptor chain + binning accumulation for one
+    (ROWS, LANE) slab of window voxels: displacement/sphere/box/bin masks,
+    Gaussian weight, eigenframe rotation, icosahedral face select,
+    barycentric + trilinear weights, and the (16, 48) MXU accumulation.
+    Shared by the dense per-tile kernel and the sphere-sparse subchunk
+    kernel (v7). `acc` is a carry-in: row contributions fold into it
+    left-to-right, so the sparse kernel's skipped subchunks (whose rows
+    would contribute exact zeros) leave results bit-identical to the
+    dense kernel."""
+    f32 = jnp.float32
+    rows = az.shape[0]
+    (cx, cy, cz, xlo, xhi, ylo, yhi, zlo, zhi) = bounds
+
+    if True:  # keep the historical indentation of the moved body
         in_box = (
             (ax >= xlo) & (ax <= xhi)
             & (ay >= ylo) & (ay <= yhi)
@@ -280,8 +346,6 @@ def _kernel(
         dz = (az.astype(f32) - cz.astype(f32)) * u
         sq = dx * dx + dy * dy + dz * dz
         inside = in_box & (sq <= r2)
-
-        R = [rot_ref[b, k] for k in range(9)]  # R^T row-major
 
         vrx = R[0] * dx + R[1] * dy + R[2] * dz
         vry = R[3] * dx + R[4] * dy + R[5] * dz
@@ -316,8 +380,83 @@ def _kernel(
         # |det| >= BARY_EPS  ⟺  |best| >= BARY_EPS / C
         best_eps = f32(float(np.float64(BARY_EPS) / np.float64(ARGMAX_CONST["c_scale"])))
 
-        if FACE_MXU:
-            N = SUB * LANE
+        if FACE_SELECT == "sym":
+            # Sign-symmetry collapse of the 20-face fold (geometry.
+            # sym_face_constants; bitwise-verified decomposition). Group
+            # maxima reproduce the winning face's ndot value exactly:
+            # products commute with sign flips and the zero-component
+            # +-0 add is a no-op, so best / by_ / bz_ match the ndot fold
+            # bit for bit away from exact ties.
+            from ...geometry import SYM_CONST
+
+            COEF = SYM_CONST["coef"]
+            CAND = SYM_CONST["cands"]
+            ENT = SYM_CONST["entry"]
+            axx = jnp.abs(grx)
+            axy = jnp.abs(gry)
+            axz = jnp.abs(grz)
+            m0 = f32(COEF[0, 0]) * axx + f32(COEF[0, 2]) * axz
+            m1 = (f32(COEF[1, 0]) * axx + f32(COEF[1, 1]) * axy) \
+                + f32(COEF[1, 2]) * axz
+            m2 = f32(COEF[2, 1]) * axy + f32(COEF[2, 2]) * axz
+            m3 = f32(COEF[3, 0]) * axx + f32(COEF[3, 1]) * axy
+            best = m0
+            gid = jnp.zeros_like(az)
+            for i, m in ((1, m1), (2, m2), (3, m3)):
+                upd = m > best  # strict: earlier group wins ties
+                best = jnp.where(upd, m, best)
+                gid = jnp.where(upd, i, gid)
+            i32t = jnp.int32
+            sb = (
+                (grx < f32(0.0)).astype(i32t) * 4
+                + (gry < f32(0.0)).astype(i32t) * 2
+                + (grz < f32(0.0)).astype(i32t)
+            )
+            is1 = gid == 1
+            is2 = gid == 2
+            is3 = gid == 3
+
+            def gsel(v0, v1, v2, v3):
+                return jnp.where(
+                    is1, v1, jnp.where(is2, v2, jnp.where(is3, v3, v0)))
+
+            # h: |g| on sign-aligned components, raw g on the group's
+            # zero-normal component (its sign pattern is always +1)
+            hx = jnp.where(is2, grx, axx)
+            hy = jnp.where(gid == 0, gry, axy)
+            hz = jnp.where(is3, grz, axz)
+            D = []
+            for r in range(3):
+                Xk = [
+                    gsel(*(f32(float(CAND[m, r, k])) for m in range(4)))
+                    for k in range(3)
+                ]
+                D.append((Xk[0] * hx + Xk[1] * hy) + Xk[2] * hz)
+
+            def esel(m):
+                e = ENT[m]
+                r = jnp.full_like(sb, int(e[0]))
+                for k in range(1, 8):
+                    r = jnp.where(sb == k, int(e[k]), r)
+                return r
+
+            E = gsel(esel(0), esel(1), esel(2), esel(3))
+            vid0 = E & 15
+            vid1 = (E >> 4) & 15
+            vid2 = (E >> 8) & 15
+            rb = (E >> 12) & 3
+            rq = E >> 14
+            by_num = jnp.where(rb == 1, D[1], jnp.where(rb == 2, D[2], D[0]))
+            bz_num = jnp.where(rq == 1, D[1], jnp.where(rq == 2, D[2], D[0]))
+            det_ok = jnp.abs(best) >= best_eps
+            det_inv = f32(1.0) / jnp.where(det_ok, best, f32(1.0))
+            by_ = det_inv * by_num
+            bz_ = det_inv * bz_num
+            # every face has det > 0 (winding fix; asserted at build), so
+            # the k >= 0 test reduces to best > 0
+            k_ok = best > f32(0.0)
+        elif FACE_MXU:
+            N = rows * LANE
             gstk = jnp.concatenate(
                 [grx.reshape(1, N), gry.reshape(1, N), grz.reshape(1, N)],
                 axis=0,
@@ -325,7 +464,7 @@ def _kernel(
             D3 = jax.lax.dot_general(
                 nrm_ref[...], gstk, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ).reshape(20, SUB, LANE)
+            ).reshape(20, rows, LANE)
 
             def ndot(i):
                 return D3[i]
@@ -384,30 +523,31 @@ def _kernel(
                     + f32(NRM[i, 2]) * grz
                 )
 
-        best = ndot(0)
-        cb = [jnp.full_like(grx, CBN[0, k]) for k in range(3)]
-        cq = [jnp.full_like(grx, CQN[0, k]) for k in range(3)]
-        vpk = jnp.full_like(az, VPK[0])
-        for i in range(1, 20):
-            d = ndot(i)
-            upd = d > best  # strict: earlier face wins ties (cpu_baseline.cc:460)
-            best = jnp.where(upd, d, best)
-            for k in range(3):
-                cb[k] = jnp.where(upd, f32(CBN[i, k]), cb[k])
-                cq[k] = jnp.where(upd, f32(CQN[i, k]), cq[k])
-            vpk = jnp.where(upd, VPK[i], vpk)
-        vid0 = vpk & 15
-        vid1 = (vpk >> 4) & 15
-        vid2 = (vpk >> 8) & 15
-        # winding sign: det > 0 iff best*sgn > 0
-        sgn = jnp.where((vpk & (1 << 12)) > 0, f32(1.0), f32(-1.0))
+        if FACE_SELECT != "sym":
+            best = ndot(0)
+            cb = [jnp.full_like(grx, CBN[0, k]) for k in range(3)]
+            cq = [jnp.full_like(grx, CQN[0, k]) for k in range(3)]
+            vpk = jnp.full_like(az, VPK[0])
+            for i in range(1, 20):
+                d = ndot(i)
+                upd = d > best  # strict: earlier face wins ties (cpu_baseline.cc:460)
+                best = jnp.where(upd, d, best)
+                for k in range(3):
+                    cb[k] = jnp.where(upd, f32(CBN[i, k]), cb[k])
+                    cq[k] = jnp.where(upd, f32(CQN[i, k]), cq[k])
+                vpk = jnp.where(upd, VPK[i], vpk)
+            vid0 = vpk & 15
+            vid1 = (vpk >> 4) & 15
+            vid2 = (vpk >> 8) & 15
+            # winding sign: det > 0 iff best*sgn > 0
+            sgn = jnp.where((vpk & (1 << 12)) > 0, f32(1.0), f32(-1.0))
 
-        det_ok = jnp.abs(best) >= best_eps
-        det_inv = f32(1.0) / jnp.where(det_ok, best, f32(1.0))
-        by_ = det_inv * (cb[0] * grx + cb[1] * gry + cb[2] * grz)
-        bz_ = det_inv * (cq[0] * grx + cq[1] * gry + cq[2] * grz)
+            det_ok = jnp.abs(best) >= best_eps
+            det_inv = f32(1.0) / jnp.where(det_ok, best, f32(1.0))
+            by_ = det_inv * (cb[0] * grx + cb[1] * gry + cb[2] * grz)
+            bz_ = det_inv * (cq[0] * grx + cq[1] * gry + cq[2] * grz)
+            k_ok = best * sgn > f32(0.0)
         bx_ = f32(1.0) - by_ - bz_
-        k_ok = best * sgn > f32(0.0)
         found = (
             nondeg & det_ok
             & (bx_ >= f32(-BARY_EPS)) & (by_ >= f32(-BARY_EPS))
@@ -434,8 +574,8 @@ def _kernel(
         # the per-row (4, LANE)/(12, LANE) shapes that waste sublanes — and
         # contract with one MXU dot per group over the collapsed
         # (GROUP*LANE) minor dims. The per-row variant (GROUP=1-equivalent)
-        # is kept selectable via ACCUM_GROUP for TPU A/B.
-        acc = jnp.zeros((16, 48), jnp.float32)
+        # is kept selectable via ACCUM_GROUP for TPU A/B. Contributions
+        # fold onto the carry-in `acc` (see docstring).
         if ACCUM_GROUP > 1:
             GR = ACCUM_GROUP
             i4 = jax.lax.broadcasted_iota(jnp.int32, (4, GR, LANE), 0)
@@ -449,7 +589,7 @@ def _kernel(
                     jnp.where(i4 == base_g + 1, frac_g, zero),
                 )  # (4, GR, LANE)
 
-            for g in range(SUB // GR):
+            for g in range(rows // GR):
                 def grp(a):
                     return a[g * GR: (g + 1) * GR][None]  # (1, GR, LANE)
 
@@ -480,7 +620,7 @@ def _kernel(
                     jnp.where(i4 == base_row + 1, frac_row, zero),
                 )  # (4, LANE)
 
-            for s in range(SUB):
+            for s in range(rows):
                 def row(a, s=s):
                     return a[s: s + 1, :]  # (1, LANE)
 
@@ -510,7 +650,197 @@ def _kernel(
                 else:
                     acc = acc + contribute(0)
 
-        out_ref[0] = out_ref[0] + acc
+        return acc
+
+
+def _kernel_sparse(
+    kpi_ref,   # scalar-prefetch: (B, 12) int32 [sz sy sx cx cy cz xlo xhi ylo yhi zlo zhi]
+    kpok_ref,  # scalar-prefetch: (B,) int32 accepted flag
+    rot_ref,   # scalar-prefetch: (B, 16) f32: R^T row-major (9 used)
+    etab_ref,  # scalar-prefetch: (nt8, 12) int32 per-8-row-chunk entries
+    win_ref,                         # (1, rows_p + 2*extr, LANE) f32
+    nrm_ref,                         # (20, 3) f32 outward face normals
+    jz_ref, jy_ref, jx_ref,          # (1, SUB, LANE) int32 offset maps
+    out_ref,                         # (1, 16, 48) f32 accumulator
+    gx_s, gy_s, gz_s,                # scratch (rows_p, LANE) f32 gradients
+    *,
+    nt: int,
+    rz: int,
+    extr: int,
+    wx: int,
+    wxy: int,
+    rows_p: int,
+    unit: float,
+    win_radius: float,
+    sigma: float,
+    desc_hw: float,
+    desc_bin_fctr: float,
+):
+    """Sphere-sparse descriptor kernel (v7): gradients precomputed ONCE per
+    keypoint into VMEM scratch (amortising the flat-shift extraction that a
+    small chunk would pay (CH+2*extr)/CH times), then the per-voxel chain
+    runs per 8-row subchunk, skipped by an EXACT-conservative scalar test
+    against the keypoint's sphere: the reference's own in-sphere `continue`
+    (sq_disp > win_radius^2, Src/cSIFT3D.cc:1270) realised at the finest
+    granularity TPU sublane alignment allows. The skip bound
+    min_sq_zy = fl(fl(dy_n^2) + fl(dz_n^2)) uses the kernel's exact f32
+    expressions at the chunk's nearest (z, y) to the center, and RN
+    rounding is monotone, so every skipped voxel provably fails the
+    kernel's own `sq <= r2` test — results are bit-identical to the dense
+    kernel."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    f32 = jnp.float32
+
+    ok = kpok_ref[b]
+
+    @pl.when(t == 0)
+    def _():
+        out_ref[0] = jnp.zeros((16, 48), jnp.float32)
+
+    u = f32(unit)
+    inv_u = f32(1.0) / u
+    r2 = f32(win_radius) * f32(win_radius)
+    sigma2 = f32(sigma) * f32(sigma)
+
+    @pl.when((t == 0) & (ok > 0))
+    def _grads():
+        # Banded so the unrolled shift temporaries stay small on the 16MB
+        # scoped-vmem stack (whole-window temps would be ~5 x 1.75MB x 3
+        # grads at the 75^3 window). Band b covers padded rows
+        # [r0, r0 + n + 2*extr): original rows r0-extr .. r0+n+extr, the
+        # same +-extr halo validity argument as the dense kernel's tiles.
+        BAND = 256
+        nb = -(-rows_p // BAND)
+        for bi in range(nb):
+            r0 = bi * BAND
+            n = min(BAND, rows_p - r0)
+            ext = win_ref[0, pl.ds(r0, n + 2 * extr), :]
+            for ref, k in ((gx_s, 1), (gy_s, wx), (gz_s, wxy)):
+                vp = _shift_rows(ext, k)[extr: extr + n, :]
+                vm = _shift_rows(ext, -k)[extr: extr + n, :]
+                # exact op order of ops/windows.py central_gradients
+                ref[pl.ds(r0, n), :] = f32(0.5) * (vp - vm) * inv_u
+
+    # per-keypoint scalars
+    sz = kpi_ref[b, 0]
+    sy = kpi_ref[b, 1]
+    sx = kpi_ref[b, 2]
+    cx = kpi_ref[b, 3]
+    cy = kpi_ref[b, 4]
+    cz = kpi_ref[b, 5]
+    xlo = kpi_ref[b, 6]
+    xhi = kpi_ref[b, 7]
+    ylo = kpi_ref[b, 8]
+    yhi = kpi_ref[b, 9]
+    zlo = kpi_ref[b, 10]
+    zhi = kpi_ref[b, 11]
+
+    z_lo_eff = jnp.maximum(zlo, cz - rz)
+    z_hi_eff = jnp.minimum(zhi, cz + rz)
+
+    def near_sq(lo, hi, c, s):
+        """fl(((nearest in [lo+s, hi+s] to c) - c) * u)^2 — the exact f32
+        value the kernel computes for the voxel nearest the center."""
+        n = jnp.minimum(jnp.maximum(c, lo + s), hi + s)
+        d = (n.astype(f32) - c.astype(f32)) * u
+        return d * d
+
+    def sub_live(e):
+        zall_lo = etab_ref[e, 0]
+        zall_hi = etab_ref[e, 1]
+        yall_lo = etab_ref[e, 2]
+        yall_hi = etab_ref[e, 3]
+        boxz = (zall_lo + sz <= z_hi_eff) & (zall_hi + sz >= z_lo_eff)
+        boxy = (yall_lo + sy <= yhi) & (yall_hi + sy >= ylo)
+
+        def entry(o):
+            ezlo = etab_ref[e, 4 + 4 * o]
+            ezhi = etab_ref[e, 5 + 4 * o]
+            eylo = etab_ref[e, 6 + 4 * o]
+            eyhi = etab_ref[e, 7 + 4 * o]
+            msq = near_sq(eylo, eyhi, cy, sy) + near_sq(ezlo, ezhi, cz, sz)
+            return msq <= r2
+
+        return (ok > 0) & boxz & boxy & (entry(0) | entry(1))
+
+    R = [rot_ref[b, k] for k in range(9)]  # R^T row-major
+    n8 = SUB // 8
+    acc = jnp.zeros((16, 48), jnp.float32)
+    for k in range(n8):
+        e = t * n8 + k
+
+        def _do(a, k=k):
+            r0 = pl.multiple_of(t * SUB + k * 8, 8)
+            # A/B: per-subchunk gradient extraction instead of the
+            # per-keypoint scratch precompute — pays the (8+2*extr)/8
+            # shift amplification on live chunks only.
+            if _os.environ.get("SIFT3D_SPHERE_NOSCRATCH") == "1":
+                ext = win_ref[0, pl.ds(r0, 8 + 2 * extr), :]
+
+                def grad(kk):
+                    vp = _shift_rows(ext, kk)[extr: extr + 8, :]
+                    vm = _shift_rows(ext, -kk)[extr: extr + 8, :]
+                    return f32(0.5) * (vp - vm) * inv_u
+
+                gx0 = grad(1)
+                gy0 = grad(wx)
+                gz0 = grad(wxy)
+            else:
+                gx0 = gx_s[pl.ds(r0, 8), :]
+                gy0 = gy_s[pl.ds(r0, 8), :]
+                gz0 = gz_s[pl.ds(r0, 8), :]
+            az = jz_ref[0][k * 8: (k + 1) * 8, :] + sz
+            ay = jy_ref[0][k * 8: (k + 1) * 8, :] + sy
+            ax = jx_ref[0][k * 8: (k + 1) * 8, :] + sx
+            return _chain_acc(
+                a, gx0, gy0, gz0, az, ay, ax, R,
+                (cx, cy, cz, xlo, xhi, ylo, yhi, zlo, zhi),
+                nrm_ref, u=u, r2=r2, sigma2=sigma2,
+                desc_hw=desc_hw, desc_bin_fctr=desc_bin_fctr,
+            )
+
+        acc = jax.lax.cond(sub_live(e), _do, lambda a: a, acc)
+    out_ref[0] = out_ref[0] + acc
+
+
+def tile_entry_table(jzm_np: np.ndarray, jym_np: np.ndarray) -> np.ndarray:
+    """(nt8, 12) int32 liveness entries per 8-row subchunk for the sparse
+    kernel: [zall_lo zall_hi yall_lo yall_hi | e0: zlo zhi ylo yhi |
+    e1: zlo zhi ylo yhi] over REAL (non-sentinel) core offsets. Chunks
+    spanning <= 2 z-slabs (always true when wxy >= 8*LANE, i.e. the big
+    windows that dominate) get exact per-slab y-ranges; wider spans merge
+    into two conservative z-range entries. Empty chunks get BIG ranges
+    whose box test can never pass."""
+    CH = 8 * LANE
+    nt8 = jzm_np.size // CH
+    jz = jzm_np.reshape(nt8, CH)
+    jy = jym_np.reshape(nt8, CH)
+    real = jz < (1 << 19)
+    BIG = np.int32(1 << 20)
+    out = np.empty((nt8, 12), np.int32)
+    for c in range(nt8):
+        m = real[c]
+        if not m.any():
+            out[c] = [BIG, -1, BIG, -1] + [BIG, BIG, BIG, BIG] * 2
+            continue
+        zc, yc_ = jz[c][m], jy[c][m]
+        zs = np.unique(zc)
+        row = [zc.min(), zc.max(), yc_.min(), yc_.max()]
+
+        def ent(zlo, zhi):
+            sel = (zc >= zlo) & (zc <= zhi)
+            return [zlo, zhi, yc_[sel].min(), yc_[sel].max()]
+
+        if len(zs) == 1:
+            row += ent(zs[0], zs[0]) + ent(zs[0], zs[0])
+        elif len(zs) == 2:
+            row += ent(zs[0], zs[0]) + ent(zs[1], zs[1])
+        else:
+            mid = len(zs) // 2
+            row += ent(zs[0], zs[mid - 1]) + ent(zs[mid], zs[-1])
+        out[c] = row
+    return out
 
 
 def window_offset_maps(wshape, cp: int):
@@ -580,21 +910,19 @@ def descriptor_bins_pallas(
     # row reach of the z-shift, rounded so slice extents stay 8-aligned
     extr = -(-(wxy // LANE + 1) // 4) * 4
 
-    kernel = functools.partial(
-        _kernel,
-        nt=nt,
-        rz=rz,
-        extr=extr,
-        wx=wx,
-        wxy=wxy,
-        unit=unit,
-        win_radius=win_radius,
-        sigma=sigma,
-        desc_hw=desc_hw,
+    rows = C // LANE
+    common = dict(
+        nt=nt, rz=rz, extr=extr, wx=wx, wxy=wxy, unit=unit,
+        win_radius=win_radius, sigma=sigma, desc_hw=desc_hw,
         desc_bin_fctr=desc_bin_fctr,
     )
+    scratch = []
+    if SPHERE_SKIP:
+        kernel = functools.partial(_kernel_sparse, rows_p=rows, **common)
+        scratch = [pltpu.VMEM((rows, LANE), jnp.float32)] * 3
+    else:
+        kernel = functools.partial(_kernel, **common)
 
-    rows = C // LANE
     win3 = jnp.pad(
         win.reshape(B, rows, LANE), ((0, 0), (extr, extr), (0, 0))
     )
@@ -619,6 +947,7 @@ def descriptor_bins_pallas(
         out_specs=pl.BlockSpec(
             (1, 16, 48), lambda b, t, *_: (b, 0, 0), memory_space=pltpu.VMEM
         ),
+        scratch_shapes=scratch,
     )
 
     shape3 = (nt, SUB, LANE)

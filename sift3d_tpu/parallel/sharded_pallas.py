@@ -38,9 +38,15 @@ clamp reaches below the last block (_level_halo).
 
 Keypoint semantics: each device keeps the keypoints whose extremum voxel
 lies in its own block (per-shard capacity cap_for_octave(o)/n, floor 128).
-The merged lane order — (octave, level), then shard, then scan — equals the
-single-chip (octave, level, scan) order, so downstream matching results are
-identical to `SIFT3D.extract` (tests/test_sharded.py).
+The raw gathered lane order is shard-major ((iz, iy) block, then local
+scan) — on a 2-D mesh that interleaves y-blocks out of scan order, so
+_merge stable-sorts each gathered level back to the single-chip
+(z, y, x) scan order, valid lanes first (advisor r4: the matcher is
+order-sensitive via the index-0 quirk and tie order). The final merged
+order therefore equals the single-chip (octave, level, scan) order on
+BOTH mesh shapes and downstream matching results are identical to
+`SIFT3D.extract` (tests/test_sharded.py, incl. the 2-D match-equality
+test).
 """
 
 from __future__ import annotations
@@ -448,9 +454,30 @@ class ShardedPallasSIFT3D:
                 out_specs=P(),
                 check_vma=False,
             )(*flat)
+            def scan_order(s: KeypointSet) -> KeypointSet:
+                # The gathered lane order is shard-major ((iz, iy), then
+                # local scan). On a 2-D mesh that interleaves y-blocks out
+                # of global scan order, and the matcher is order-sensitive
+                # (index-0 quirk, tie order) — restore the single-chip
+                # (z, y, x) scan order per level, valid lanes first.
+                # Distinct keypoints never share a voxel, so the sort is
+                # deterministic; on a 1-D z mesh it is the identity.
+                keys = (s.xyz[:, 0], s.xyz[:, 1], s.xyz[:, 2],
+                        (~s.valid).astype(jnp.int32))
+                order = jnp.lexsort(keys)
+                return KeypointSet(*[
+                    getattr(s, f) if f in ("counts", "caps")
+                    else getattr(s, f)[order]
+                    for f in KeypointSet._fields
+                ])
+
             rebuilt = [
                 KeypointSet(*gathered[k * nf: (k + 1) * nf])
                 for k in range(len(sets))
+            ]
+            rebuilt = [
+                scan_order(s) if sh else s
+                for s, sh in zip(rebuilt, shardedness)
             ]
             return sort_valid_first(merge_sets(rebuilt))
 

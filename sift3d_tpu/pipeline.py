@@ -277,6 +277,40 @@ def _octave_levels(seed, plan, o):
     return gss, dog
 
 
+# Single-volume extract() switches to the streaming octave path above this
+# voxel count: the fused path keeps both full pyramids (~11 levels) live,
+# ~8.2 GB at 544^3 and ~22 GB at 768^3 — past 16 GB HBM. 512^3 (134M) stays
+# fused (measured faster when memory permits, r4 pair A/B). The reference
+# has no such cliff only because it allocates in host RAM
+# (Src/cUtil.cc:177-235); streaming matches its unbounded-size capability.
+_SINGLE_VOXELS = 160 * 1024 * 1024
+
+# Octaves whose levels exceed this stream LEVEL-BY-LEVEL (each blur/DoG/
+# stage its own module, consumed buffers freed as the python refs drop):
+# a whole-octave streaming module still keeps ~8 levels live at its level
+# stages (~14.5 GB at 768^3, OOM-adjacent); the rolled chain holds at most
+# 6 levels + one blur temp (~12.6 GB at 768^3).
+_ROLL_VOXELS = 160 * 1024 * 1024
+
+
+def _stream_group_fn1(plan, group):
+    """Single-volume analogue of _stream_group_fn:
+    seed -> (sets, next_seed)."""
+    cfg = plan.cfg
+    dl = cfg.dog_levels
+
+    def fn(seed):
+        sets_v = []
+        for o in group:
+            gss, dog = _octave_levels(seed, plan, o)
+            sets_v.append(_octave_stage(
+                tuple(dog), tuple(gss[1: dl - 1]), plan=plan, o=o))
+            seed = gss[cfg.num_kp_levels]
+        return merge_sets(sets_v), seed
+
+    return fn
+
+
 def _stream_group_fn(plan, group):
     """Module body for one octave group of the streaming pair path:
     (seed_a, seed_b) -> (sets_a, sets_b, next_seed_a, next_seed_b)."""
@@ -509,13 +543,103 @@ class SIFT3D:
         """volume: (nz, ny, nx) array-like, any dtype castable to float32.
 
         The returned KeypointSet is lane-sorted so valid keypoints form a
-        dense prefix (reference `filter` order)."""
+        dense prefix (reference `filter` order). Volumes above
+        _SINGLE_VOXELS stream (identical math, bounded HBM — matching the
+        reference's host-RAM-bounded sizes, Src/cUtil.cc:177-235)."""
         vol = jnp.asarray(volume, dtype=jnp.float32)
         shape = tuple(int(s) for s in vol.shape)
         plan = self.plan(shape)
+        if int(np.prod(shape)) > _SINGLE_VOXELS:
+            return self._extract_streaming(vol, shape, plan)
         gss, dog = self._pyramids(vol, shape, plan)
         sets = self._octaves(gss, dog, shape, plan)
         return self._finalize_jit(sets)
+
+    def _extract_streaming(self, vol, shape, plan=None) -> KeypointSet:
+        """Streaming single-volume extraction: octave groups run as seeded
+        modules whose pyramid buffers die with them (_stream_group_fn1);
+        octaves above _ROLL_VOXELS roll level by level. Bit-identical to
+        extract() — same ops in the same order, only the module boundaries
+        move (tests/test_pipeline.py streaming-equality)."""
+        plan = plan or self.plan(shape)
+        sets = []
+        seed = vol
+        owned = False  # the caller's volume must not be donated/freed
+        for group in self._octave_groups(plan):
+            big = (len(group) == 1 and int(
+                np.prod(plan.gss_meta(group[0], 1).shape)) > _ROLL_VOXELS)
+            if big:
+                seed, s = self._rolled_octave(seed, shape, plan, group[0],
+                                              owned)
+                sets.extend(s)
+            else:
+                key = ("stream1", shape, group, owned)
+                if key not in self._octave_jits:
+                    donate = (0,) if owned else ()
+                    self._octave_jits[key] = jax.jit(
+                        _stream_group_fn1(plan, group), donate_argnums=donate)
+                s, seed = self._octave_jits[key](seed)
+                sets.append(s)
+            owned = True
+        return self._finalize_jit(sets)
+
+    def _rolled_octave(self, seed, shape, plan, o, seed_owned):
+        """Level-rolled streaming for one huge octave: every blur+DoG step
+        and every level stage is its own jit module, and consumed levels
+        are freed as the python references drop. Live levels are bounded
+        at 6 (~12.6 GB at 768^3 incl. the blur temp) instead of the ~8 a
+        whole-octave module keeps at its level stages. Returns
+        (next_seed, sets)."""
+        cfg = self.cfg
+        gl, dl = cfg.gss_levels, cfg.dog_levels
+
+        def jit_for(name, fn, donate=()):
+            key = ("roll", shape, o, name)
+            if key not in self._octave_jits:
+                self._octave_jits[key] = jax.jit(fn, donate_argnums=donate)
+            return self._octave_jits[key]
+
+        if o == 0:
+            base = jit_for("base", lambda v: G.gaussian_blur(
+                G.data_scale(v), plan.base_sig))
+        else:
+            base = jit_for(
+                "down", lambda s: G.downsample(s),
+                donate=(0,) if seed_owned else ())
+        gss = {0: base(seed)}
+        del seed
+        dogs: dict[int, jnp.ndarray] = {}
+        sets = []
+        next_seed = None
+        for i in range(1, gl):
+            if i < gl - 1:
+                def step_fn(prev, _sig=plan.sigmas[i]):
+                    nxt = G.gaussian_blur(prev, _sig)
+                    return nxt, G.dog(prev, nxt)
+
+                gss[i], dogs[i - 1] = jit_for(f"step{i}", step_fn)(gss[i - 1])
+            else:
+                # last level's GSS feeds only its DoG — keep it internal
+                def last_fn(prev, _sig=plan.sigmas[i]):
+                    return G.dog(prev, G.gaussian_blur(prev, _sig))
+
+                dogs[i - 1] = jit_for(f"step{i}", last_fn)(gss[i - 1])
+            if i == cfg.num_kp_levels:
+                next_seed = gss[i]
+            # gss[i-1] was needed for this step's blur+DoG; it stays live
+            # only while a later level stage gathers windows from it
+            # (levels 1..dl-2) or it seeds the next octave.
+            if not (1 <= i - 1 <= dl - 2) and i - 1 != cfg.num_kp_levels:
+                gss.pop(i - 1, None)
+            j = i - 2  # stage j needs dogs j-1..j+1 (detect_level 3-high)
+            if 1 <= j <= dl - 2:
+                st = jit_for(f"stage{j}", functools.partial(
+                    _level_stage, plan=plan, o=o, i=j))
+                sets.append(st(dogs[j - 1], dogs[j], dogs[j + 1], gss[j]))
+                del dogs[j - 1]
+                if j != cfg.num_kp_levels:
+                    gss.pop(j, None)
+        return next_seed, sets
 
     def extract_pair(self, ref, tar) -> tuple[KeypointSet, KeypointSet]:
         """extract() for two same-shape volumes with both volumes fused

@@ -196,6 +196,35 @@ def test_non_cubic_volume_matches_oracle():
     assert common >= 0.99 * max(len(want), 1), (len(got), len(want), common)
 
 
+def test_streaming_single_path_equals_extract(monkeypatch):
+    """The large-volume single-extract streaming path — including the
+    level-rolled big-octave chain — is bit-identical to extract(): same
+    math, only module boundaries move (pipeline._extract_streaming)."""
+    import jax.numpy as jnp
+
+    from sift3d_tpu import pipeline
+    from sift3d_tpu.pipeline import compact_valid
+
+    shape = (48, 48, 48)
+    vol = fixtures.smooth_random_volume(shape, seed=5, smooth=2)
+    sift = SIFT3D(SiftConfig(max_kp_per_level=512))
+    plain = sift.extract(vol)
+
+    # force the rolled path for octave 0 and the grouped-stream tail
+    monkeypatch.setattr(pipeline, "_ROLL_VOXELS", 100_000)
+    monkeypatch.setattr(pipeline, "_GROUP_VOXELS", 200_000)
+    stream = sift._extract_streaming(jnp.asarray(vol), shape)
+
+    sc, pc = compact_valid(stream), compact_valid(plain)
+    n = int(pc.num_valid)
+    assert n > 0
+    assert int(sc.num_valid) == n
+    np.testing.assert_array_equal(np.asarray(sc.xyz)[:n], np.asarray(pc.xyz)[:n])
+    np.testing.assert_array_equal(
+        np.asarray(sc.octave)[:n], np.asarray(pc.octave)[:n])
+    np.testing.assert_array_equal(np.asarray(sc.desc)[:n], np.asarray(pc.desc)[:n])
+
+
 def test_streaming_pair_path_equals_extract():
     """The large-volume streaming pair path (one module per octave group,
     seeded by the previous group's gss[num_kp_levels]) is bit-identical to
