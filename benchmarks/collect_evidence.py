@@ -91,7 +91,7 @@ def last_json_line(path: str):
 def main():
     ev = {}
     for key, path in LOGS.items():
-        val = (all_json_lines(path) if key == "match_50k"
+        val = (all_json_lines(path) if key in ("match_50k", "ab_desc_sparse")
                else last_json_line(path))
         if val is not None:
             ev[key] = val

@@ -24,7 +24,7 @@ Model (z-block partitioning, parallel/sharded_pallas.py):
     boundaries ride DCN at ~6 GB/s effective per pair; with z-contiguous
     device order only 1 of N-1 boundaries is DCN per hop.
 
-Usage: python benchmarks/multihost_model.py [--size 256] [--out SCALING_r04.json]
+Usage: python benchmarks/multihost_model.py [--size 256] [--out SCALING_r05.json]
 Appends a "multihost_model" section to the scaling artifact.
 """
 
@@ -51,7 +51,7 @@ def main():
     ap.add_argument("--single-chip-s", type=float, default=None,
                     help="measured single-chip extract+match pair seconds "
                     "(default: EVIDENCE_r3 bench_256 value)")
-    ap.add_argument("--out", default=str(REPO / "SCALING_r04.json"))
+    ap.add_argument("--out", default=str(REPO / "SCALING_r05.json"))
     args = ap.parse_args()
 
     from sift3d_tpu.config import SiftConfig
@@ -64,7 +64,7 @@ def main():
 
     t1 = args.single_chip_s
     if t1 is None:
-        for name in ("EVIDENCE_r4.json", "EVIDENCE_r3.json"):
+        for name in ("EVIDENCE_r5.json", "EVIDENCE_r4.json", "EVIDENCE_r3.json"):
             ev = REPO / name
             if ev.exists():
                 t1 = json.loads(ev.read_text())["bench_256"]["value"]

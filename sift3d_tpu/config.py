@@ -91,12 +91,22 @@ class SiftConfig:
         Auto rule: max(4096, next_pow2(nvox / 1024)) — tracks the measured
         zero-dropped-extrema requirement (16384 at 256^3, 131072 at 512^3)
         so default-config users keep full recall at any volume size.
+
+        Ceiling 131072 (the 512^3 value; sizes <= 512^3 are unchanged):
+        beyond it, per-level keypoint buffers themselves become the HBM
+        bottleneck (the uncapped rule would want 524288 lanes/level at
+        768^3 — ~9 GB of descriptor capacity for a realistic population of
+        a few 10k). A level that genuinely overflows is still DETECTED
+        (counts > caps -> dropped_by_cap / the compaction RuntimeWarning);
+        raise max_kp_per_level explicitly to trade HBM for headroom — the
+        reference has no cap only because its vectors grow in host RAM
+        (Src/cSIFT3D.cc keypoint push_back).
         """
         if self.max_kp_per_level is not None:
             return self
         nvox = math.prod(shape)
         cap = max(4096, 1 << max(0, nvox // 1024 - 1).bit_length())
-        return dataclasses.replace(self, max_kp_per_level=cap)
+        return dataclasses.replace(self, max_kp_per_level=min(cap, 131072))
 
     def cap_for_octave(self, octave: int) -> int:
         if self.max_kp_per_level is None:

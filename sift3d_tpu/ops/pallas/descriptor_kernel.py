@@ -118,8 +118,15 @@ def _check_face_select(v: str) -> str:
 # Sphere-sparse kernel (v7): per-8-row-subchunk scalar liveness tests
 # against the keypoint sphere + per-keypoint gradient scratch (see
 # _kernel_sparse). Exact-conservative: results bit-identical to the dense
-# kernel. A/B knob, read at import.
-SPHERE_SKIP = _os.environ.get("SIFT3D_DESC_SPHERE", "0") == "1"
+# kernel. ADOPTED AS DEFAULT (r5): parity-gated TPU A/B at 256^3
+# (EVIDENCE_r5 ab_desc_sparse) measured 0.587 -> 0.565 s on top of sym
+# with identical keypoint/match sets and bit-identical descriptors vs the
+# dense kernel. Skip granularity is the 8-row subchunk (8*LANE voxels);
+# finer lanes capture more of the sphere's dead corners (live fraction
+# 0.936 at LANE=512 -> 0.854 at 128) but narrow vectors cost more than
+# the skip saves: 64x512 0.565 s, 8x512 0.576, 64x256 0.613, 64x128
+# 0.646. A/B knob, read at import.
+SPHERE_SKIP = _os.environ.get("SIFT3D_DESC_SPHERE", "1") == "1"
 
 # Skip the Kronecker build + accumulation dot for sublane rows whose val
 # vector is entirely zero (exact; ~25% of rows fail the sphere test alone).
