@@ -153,7 +153,15 @@ def detect_level(
     cap: int,
     use_pallas=None,
 ) -> LevelDetections:
-    if _use_pallas_compact(use_pallas) and jax.default_backend() == "tpu":
+    # The fused kernel holds ~9-10 (ny, nx) planes on the 16MB scoped-vmem
+    # stack (5 unit-z blocks double-buffered + roll temps): a 768^2 plane
+    # (2.36MB) measured 22.5MB and was rejected by Mosaic (r5). Gate on the
+    # plane size that keeps the stack under budget — 512^2 (1.05MB, ~10MB
+    # stack) is the largest measured-good plane; larger planes use the XLA
+    # mask + Pallas compaction path (bit-identical results).
+    fits_vmem = cur.shape[1] * cur.shape[2] * 4 <= (1 << 20) + (1 << 16)
+    if (_use_pallas_compact(use_pallas) and jax.default_backend() == "tpu"
+            and fits_vmem):
         from .pallas.detect_kernel import detect_level_pallas
 
         idx, count, thres = detect_level_pallas(

@@ -633,9 +633,20 @@ class SIFT3D:
                 gss.pop(i - 1, None)
             j = i - 2  # stage j needs dogs j-1..j+1 (detect_level 3-high)
             if 1 <= j <= dl - 2:
+                # dogs[j-1] dies with this stage; gss[j] too unless it
+                # seeds the next octave — donate the dead ones so their
+                # HBM frees at call time, not after.
+                donate = (0,) if j == cfg.num_kp_levels else (0, 3)
                 st = jit_for(f"stage{j}", functools.partial(
-                    _level_stage, plan=plan, o=o, i=j))
-                sets.append(st(dogs[j - 1], dogs[j], dogs[j + 1], gss[j]))
+                    _level_stage, plan=plan, o=o, i=j), donate=donate)
+                out = st(dogs[j - 1], dogs[j], dogs[j + 1], gss[j])
+                # At huge levels the per-stage KeypointSet buffers (~0.2-
+                # 0.4 GB each at full-recall caps) would otherwise pile up
+                # on HBM next to ~6 live pyramid levels; park them on host
+                # until the pyramids are gone (the merge re-uploads them).
+                if int(np.prod(plan.gss_meta(o, j).shape)) > _ROLL_VOXELS:
+                    out = KeypointSet(*jax.device_get(tuple(out)))
+                sets.append(out)
                 del dogs[j - 1]
                 if j != cfg.num_kp_levels:
                     gss.pop(j, None)
