@@ -41,8 +41,12 @@ LOGS = {
     "ab_r4_cumulative": "/tmp/ab_r4_cumulative.log",
     "ab_face_anti": "/tmp/ab_faceanti.log",
     # round-5 A/Bs
+    "ab_base_r5": "/tmp/ab_base_r5.log",
     "ab_face_sym": "/tmp/ab_facesym.log",
     "ab_desc_sparse": "/tmp/ab_descsparse.log",
+    "desc_vpu": "/tmp/ev_descvpu.log",
+    # on-TPU sublane-unaligned detect parity (advisor r4 low #4)
+    "detect_unaligned_tpu": "/tmp/ev_detectunaligned.log",
 }
 
 
@@ -95,6 +99,18 @@ def main():
                else last_json_line(path))
         if val is not None:
             ev[key] = val
+    # Historical A/B logs live in /tmp and do not survive reboots; carry any
+    # missing ab_* section forward from the previous round's evidence file,
+    # explicitly tagged so fresh and carried measurements are never confused.
+    prev = REPO / "EVIDENCE_r4.json"
+    if prev.exists():
+        old = json.loads(prev.read_text())
+        for key in LOGS:
+            if key.startswith("ab_") and key not in ev and key in old:
+                carried = old[key]
+                if isinstance(carried, dict):
+                    carried = dict(carried, carried_from="EVIDENCE_r4")
+                ev[key] = carried
     for name, key in (("ROOFLINE.json", "roofline"),
                       ("SCALING_r05.json", "scaling"),
                       ("PARITY_VS_REFERENCE.json", "parity_vs_reference_64"),
@@ -111,6 +127,7 @@ def main():
                       ("RESIDUE_256.json", "residue_diagnosis_256"),
                       ("DESC_TAIL_256.json", "desc_tail_diagnosis_256"),
                       ("BENCH_512_r05.json", "bench_512_artifact"),
+                      ("EXTRACT_LARGE_r05.json", "extract_768_single_volume"),
                       ("DMA_PROBE_r05.json", "dma_probe_reprobe")):
         p = REPO / name
         if p.exists():

@@ -18,21 +18,30 @@ aligned starts multiplies traffic 3.8-6.3x (e.g. (77,88,256) for a 77^3
 window), which cancels the DMA's bandwidth advantage over the XLA DUS
 gather — hence the per-keypoint DUS stays (DESIGN.md round-4 candidate 1).
 
-Usage: python benchmarks/dma_probe.py   (needs a real TPU; prints one
-OK/FAIL line per case)
+Usage: python benchmarks/dma_probe.py [--out DMA_PROBE_r05.json]
+(needs a real TPU; prints one OK/FAIL line per case and, with --out,
+writes the acceptance matrix as a JSON artifact for the evidence suite —
+VERDICT r4 #8 asks for the re-probe result to be recorded either way)
 """
 
 from __future__ import annotations
 
+import argparse
+import json
 import sys
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
 
 import numpy as np
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None,
+                    help="write the acceptance matrix JSON here")
+    args = ap.parse_args()
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -79,6 +88,7 @@ def main():
         ((77, 80, 77), 8, 1, "y ext 80 y-off 8-aligned, x ext 77"),
         ((77, 80, 128), 8, 128, "fully aligned offsets+extents"),
     ]
+    rows = []
     for wshape, ay, ax, note in cases:
         Wz, Wy, Wx = wshape
         sz = jnp.asarray(rng.integers(0, 258 - Wz, 8), jnp.int32)
@@ -91,9 +101,32 @@ def main():
                                 sx[b]:sx[b] + Wx]
                 for b in range(8)
             ])
-            print(f"OK   {note}: maxdiff={np.abs(out - ref).max()}")
+            md = float(np.abs(out - ref).max())
+            print(f"OK   {note}: maxdiff={md}")
+            rows.append({"shape": list(wshape), "align_y": ay, "align_x": ax,
+                         "case": note, "accepted": True, "maxdiff": md})
         except Exception as e:  # Mosaic lowering rejection
-            print(f"FAIL {note}: {str(e).splitlines()[0][:120]}")
+            msg = str(e).splitlines()[0][:160]
+            print(f"FAIL {note}: {msg}")
+            rows.append({"shape": list(wshape), "align_y": ay, "align_x": ax,
+                         "case": note, "accepted": False, "error": msg})
+    import jaxlib
+
+    result = {
+        "metric": "mosaic_dma_slice_acceptance",
+        "jax": jax.__version__,
+        "jaxlib": jaxlib.__version__,
+        "cases": rows,
+        "verdict": (
+            "unchanged — only fully tile-aligned offsets AND extents "
+            "accepted; per-keypoint DUS gather stands"
+            if [r["accepted"] for r in rows] == [False] * 4 + [True]
+            else "CHANGED vs round 4 — revisit gather_kernel.py"
+        ),
+    }
+    print(json.dumps(result))
+    if args.out:
+        Path(args.out).write_text(json.dumps(result, indent=1))
 
 
 if __name__ == "__main__":

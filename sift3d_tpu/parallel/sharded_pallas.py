@@ -44,9 +44,18 @@ _merge stable-sorts each gathered level back to the single-chip
 (z, y, x) scan order, valid lanes first (advisor r4: the matcher is
 order-sensitive via the index-0 quirk and tie order). The final merged
 order therefore equals the single-chip (octave, level, scan) order on
-BOTH mesh shapes and downstream matching results are identical to
-`SIFT3D.extract` (tests/test_sharded.py, incl. the 2-D match-equality
-test).
+BOTH mesh shapes, and matching results equal `SIFT3D.extract` on every
+tested shape (tests/test_sharded.py, incl. the 2-D and multi-octave
+match-equality tests).
+
+Numerics vs single-chip: the per-shard blur contraction is a row-subset
+of the single-chip one, so the sharded GSS can differ by ulps wherever
+the backend blocks the two contraction lengths differently (CPU GEMM at
+nz >= 256: blur maxdiff 3e-8; on TPU, einsum-per-shard vs the single-chip
+taps2 kernel: ~1.8e-7). Keypoint sets and matches have been equal on
+every tested shape; descriptor deltas are bounded by the face-edge
+sensitivity class (>=99% < 1e-3 L2, worst < 5e-3 — DESIGN.md), the same
+bar as a differently-compiled reference build.
 """
 
 from __future__ import annotations

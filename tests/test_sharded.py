@@ -254,10 +254,36 @@ def test_sharded_pallas_multi_octave_1d_equal():
         np.asarray(sh_c.octave)[:n], np.asarray(ref_c.octave)[:n])
     np.testing.assert_array_equal(
         np.asarray(sh_c.level)[:n], np.asarray(ref_c.level)[:n])
-    np.testing.assert_allclose(
-        np.asarray(sh_c.desc)[:n], np.asarray(ref_c.desc)[:n],
-        atol=2e-6, rtol=1e-5,
-    )
+    # Descriptors are graded at the cross-build bar, not bit-exactness: at
+    # z >= 256 the per-shard z-pass contraction (length ~local+2h) and the
+    # single-chip one (length nz) are blocked differently by the CPU
+    # backend's GEMM, so the sharded GSS differs by ulps (measured: blur
+    # maxdiff 0.0 at z=64, 3e-8 at z=256) — the sharded pyramid is a
+    # differently-rounded build of the same math, and descriptor deltas are
+    # bounded by the face-edge sensitivity class (DESIGN.md): >=99% of
+    # descriptors L2 < 1e-3, worst < 5e-3. On TPU the analogous divergence
+    # is einsum-per-shard vs the single-chip taps2 blur (~1.8e-7).
+    dl2 = np.linalg.norm(
+        np.asarray(sh_c.desc)[:n] - np.asarray(ref_c.desc)[:n], axis=-1)
+    assert dl2.max() < 5e-3, f"worst desc L2 {dl2.max():.2e}"
+    assert (dl2 < 1e-3).mean() >= 0.99, f"{(dl2 >= 1e-3).sum()} descs >= 1e-3"
+
+    # The docstring's match claim, asserted: a second volume, both paths,
+    # identical surviving enhancedMatch pair sets.
+    vol2 = fixtures.smooth_random_volume(shape, seed=14, smooth=2)
+    sh2 = sharded_pallas_extract(
+        jax.device_put(vol2, M.block_sharding(m)), plan, m)
+    ref2 = SIFT3D(cfg).extract(vol2)
+
+    from sift3d_tpu import enhanced_match
+
+    def pairs(a, b):
+        rc, tc, valid = enhanced_match(a, b, 0.85)
+        v = np.asarray(valid)
+        return {tuple(np.concatenate([x, y]))
+                for x, y in zip(np.asarray(rc)[v], np.asarray(tc)[v])}
+
+    assert pairs(sh, sh2) == pairs(ref, ref2)
 
 
 @needs_8
