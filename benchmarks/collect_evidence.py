@@ -128,6 +128,8 @@ def main():
                       ("DESC_TAIL_256.json", "desc_tail_diagnosis_256"),
                       ("BENCH_512_r05.json", "bench_512_artifact"),
                       ("EXTRACT_LARGE_r05.json", "extract_768_single_volume"),
+                      ("EXTRACT_LARGE_FULLRECALL_r05.json",
+                       "extract_768_full_recall"),
                       ("DMA_PROBE_r05.json", "dma_probe_reprobe")):
         p = REPO / name
         if p.exists():

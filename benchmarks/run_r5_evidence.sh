@@ -19,7 +19,7 @@ timeout 1800 python benchmarks/roofline.py --size 256 > /tmp/ev_roofline.log 2>&
 timeout 1500 python benchmarks/match_precision.py --n 20000 --m 20000 > /tmp/ev_matchprec.log 2>&1
 # round-5 A/Bs, regenerated fresh (old /tmp logs do not survive reboots):
 # baseline = round-4 defaults (argmax face select, dense kernel)
-SIFT3D_FACE_SELECT=max SIFT3D_DESC_SPHERE=0 \
+SIFT3D_FACE_SELECT=ndot SIFT3D_DESC_SPHERE=0 \
   timeout 2400 python benchmarks/ab_knobs.py --record /tmp/ab_base_r5.npz > /tmp/ab_base_r5.log 2>&1
 SIFT3D_FACE_SELECT=sym SIFT3D_DESC_SPHERE=0 \
   timeout 2400 python benchmarks/ab_knobs.py --vs /tmp/ab_base_r5.npz > /tmp/ab_facesym.log 2>&1

@@ -84,7 +84,12 @@ def compact(mask: jnp.ndarray, cap: int, threshold: jnp.ndarray,
     k = min(cap, n)  # tiny top levels may have fewer voxels than cap
 
     def do_compact(flat):
-        if _use_pallas_compact(use_pallas):
+        # The Pallas compaction writes its s32[cap] index output through
+        # SMEM (scalar stores at dynamic indices are SMEM-only), and SMEM
+        # is 1 MB: Mosaic rejected cap=524288 (2 MB) at r5. Gate at the
+        # proven 131072 (512 KB) and use the bit-identical XLA top_k
+        # compaction for larger explicit caps.
+        if _use_pallas_compact(use_pallas) and cap * 4 <= (1 << 19):
             from .pallas.compact_kernel import CTILE, compact_mask_pallas
 
             npad = -(-n // CTILE) * CTILE
@@ -160,8 +165,9 @@ def detect_level(
     # stack) is the largest measured-good plane; larger planes use the XLA
     # mask + Pallas compaction path (bit-identical results).
     fits_vmem = cur.shape[1] * cur.shape[2] * 4 <= (1 << 20) + (1 << 16)
+    fits_smem = cap * 4 <= (1 << 19)  # s32[cap] idx output lives in SMEM
     if (_use_pallas_compact(use_pallas) and jax.default_backend() == "tpu"
-            and fits_vmem):
+            and fits_vmem and fits_smem):
         from .pallas.detect_kernel import detect_level_pallas
 
         idx, count, thres = detect_level_pallas(

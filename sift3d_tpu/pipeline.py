@@ -123,11 +123,24 @@ def _level_stage(dog_prev, dog_cur, dog_next, gss_level, *, plan, o, i):
     end-to-end program would blow up XLA compile time (superlinear in
     module size), per-level modules would pay a dispatch round trip each.
     """
-    cfg = plan.cfg
-    cap = cfg.cap_for_octave(o)
+    det = _detect_stage(dog_prev, dog_cur, dog_next, plan=plan, o=o)
+    return _describe_stage(det, gss_level, plan=plan, o=o, i=i)
 
-    det = D.detect_level(dog_prev, dog_cur, dog_next, cfg.peak_thresh, cap,
-                         use_pallas=cfg.use_pallas)
+
+def _detect_stage(dog_prev, dog_cur, dog_next, *, plan, o):
+    """Detection half of _level_stage (split out so the rolled-octave
+    streaming path can free dog_prev before the window-gather-heavy
+    orientation/descriptor half runs — at 768^3 the fused stage's ~6 live
+    1.7 GB levels plus pad copy and window buffers exceed 16 GB HBM)."""
+    cfg = plan.cfg
+    return D.detect_level(dog_prev, dog_cur, dog_next, cfg.peak_thresh,
+                          cfg.cap_for_octave(o), use_pallas=cfg.use_pallas)
+
+
+def _describe_stage(det, gss_level, *, plan, o, i):
+    """Orientation + descriptor half of _level_stage (same ops in the same
+    order as the fused stage — only the module boundary moves, so results
+    are bit-identical; tests/test_pipeline.py streaming-equality)."""
     gss_pad = jnp.pad(gss_level, 1)
     return _orient_describe(det, gss_pad, plan=plan, o=o, i=i)
 
@@ -584,11 +597,13 @@ class SIFT3D:
         return self._finalize_jit(sets)
 
     def _rolled_octave(self, seed, shape, plan, o, seed_owned):
-        """Level-rolled streaming for one huge octave: every blur+DoG step
-        and every level stage is its own jit module, and consumed levels
-        are freed as the python references drop. Live levels are bounded
-        at 6 (~12.6 GB at 768^3 incl. the blur temp) instead of the ~8 a
-        whole-octave module keeps at its level stages. Returns
+        """Level-rolled streaming for one huge octave: every blur+DoG step,
+        detection, and orientation+descriptor stage is its own jit module,
+        and consumed levels are freed as the python references drop. The
+        worst module (describe j=1) holds 5 live levels plus the pad copy
+        (~10.5 GB at 768^3) — the fused level stage held 6 plus detect
+        temporaries and OOM'd 16 GB HBM (EXTRACT_LARGE_r05.json carries
+        the measured run + analytic accounting). Returns
         (next_seed, sets)."""
         cfg = self.cfg
         gl, dl = cfg.gss_levels, cfg.dog_levels
@@ -633,13 +648,19 @@ class SIFT3D:
                 gss.pop(i - 1, None)
             j = i - 2  # stage j needs dogs j-1..j+1 (detect_level 3-high)
             if 1 <= j <= dl - 2:
-                # dogs[j-1] dies with this stage; gss[j] too unless it
-                # seeds the next octave — donate the dead ones so their
-                # HBM frees at call time, not after.
-                donate = (0,) if j == cfg.num_kp_levels else (0, 3)
-                st = jit_for(f"stage{j}", functools.partial(
-                    _level_stage, plan=plan, o=o, i=j), donate=donate)
-                out = st(dogs[j - 1], dogs[j], dogs[j + 1], gss[j])
+                # Split stage: detect (3 DoG levels) then orient+describe
+                # (GSS only), with dogs[j-1] freed in between — the fused
+                # stage would hold 6 live levels PLUS the pad copy and
+                # window buffers at once, which OOMs 16 GB HBM at 768^3.
+                # Same ops in the same order, so bit-identical to the
+                # fused _level_stage (streaming-equality test).
+                det_jit = jit_for(f"detect{j}", functools.partial(
+                    _detect_stage, plan=plan, o=o))
+                det = det_jit(dogs[j - 1], dogs[j], dogs[j + 1])
+                del dogs[j - 1]
+                st = jit_for(f"describe{j}", functools.partial(
+                    _describe_stage, plan=plan, o=o, i=j))
+                out = st(det, gss[j])
                 # At huge levels the per-stage KeypointSet buffers (~0.2-
                 # 0.4 GB each at full-recall caps) would otherwise pile up
                 # on HBM next to ~6 live pyramid levels; park them on host
@@ -647,7 +668,6 @@ class SIFT3D:
                 if int(np.prod(plan.gss_meta(o, j).shape)) > _ROLL_VOXELS:
                     out = KeypointSet(*jax.device_get(tuple(out)))
                 sets.append(out)
-                del dogs[j - 1]
                 if j != cfg.num_kp_levels:
                     gss.pop(j, None)
         return next_seed, sets

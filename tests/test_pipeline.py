@@ -210,9 +210,13 @@ def test_streaming_single_path_equals_extract(monkeypatch):
     sift = SIFT3D(SiftConfig(max_kp_per_level=512))
     plain = sift.extract(vol)
 
-    # force the rolled path for octave 0 and the grouped-stream tail
+    # Force the rolled path for octave 0 and the grouped-stream tail:
+    # octave 0 (48^3 = 110,592 voxels) must clear BOTH thresholds — at or
+    # above _GROUP_VOXELS it becomes a singleton group, above _ROLL_VOXELS
+    # that group rolls level-by-level (incl. the split detect/describe
+    # stages and the host-parked keypoint sets).
     monkeypatch.setattr(pipeline, "_ROLL_VOXELS", 100_000)
-    monkeypatch.setattr(pipeline, "_GROUP_VOXELS", 200_000)
+    monkeypatch.setattr(pipeline, "_GROUP_VOXELS", 100_000)
     stream = sift._extract_streaming(jnp.asarray(vol), shape)
 
     sc, pc = compact_valid(stream), compact_valid(plain)
