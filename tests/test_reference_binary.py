@@ -32,12 +32,12 @@ def ref_driver():
     return DRIVER
 
 
-def test_pipeline_matches_reference_binary(ref_driver, tmp_path):
+def _run_parity(size, tmp_path):
     res = subprocess.run(
         [sys.executable, str(REPO / "tools/reference_parity.py"),
-         "--size", "32", "--workdir", str(tmp_path),
+         "--size", str(size), "--workdir", str(tmp_path),
          "--out", str(tmp_path / "parity.json")],
-        capture_output=True, text=True, timeout=1200,
+        capture_output=True, text=True, timeout=1800,
     )
     assert res.returncode == 0, res.stdout[-2000:] + res.stderr[-2000:]
     rep = json.loads((tmp_path / "parity.json").read_text())
@@ -47,3 +47,15 @@ def test_pipeline_matches_reference_binary(ref_driver, tmp_path):
         for impl in rep[tag].values():
             assert impl["detections_exact"], (tag, impl)
             assert impl["kp_exact"], (tag, impl)
+
+
+def test_pipeline_matches_reference_binary(ref_driver, tmp_path):
+    _run_parity(32, tmp_path)
+
+
+@pytest.mark.slow
+def test_pipeline_matches_reference_binary_64(ref_driver, tmp_path):
+    """64^3 hard gate on the full cascade (VERDICT r4 weak #6: 32^3 was
+    the only in-suite strict gate; the larger strict runs lived outside
+    the suite in tools/reference_parity.py artifacts)."""
+    _run_parity(64, tmp_path)
